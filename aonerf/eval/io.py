@@ -1,0 +1,65 @@
+"""Output writers: image sequences, depth maps, stats JSON.
+
+Reference parity: models/utils.py:21-73 (store_image jpg sequence,
+store_depth_img/raw, write_stats results.json). Video export (models/
+utils.py:55-59) is gated on imageio availability (absent in this image) —
+``store_video`` raises with instructions instead of failing silently.
+"""
+
+import json
+import os
+from typing import Dict, Sequence
+
+import numpy as np
+from PIL import Image
+
+
+def _to_u8(img: np.ndarray) -> np.ndarray:
+    return (np.clip(np.asarray(img, dtype=np.float64), 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+def store_image(dirpath: str, rgbs: Sequence[np.ndarray], name: str = "image") -> None:
+    """Write each (H, W, 3) float image as {name}{i:03d}.jpg."""
+    os.makedirs(dirpath, exist_ok=True)
+    for i, rgb in enumerate(rgbs):
+        Image.fromarray(_to_u8(rgb)).save(os.path.join(dirpath, f"{name}{i:03d}.jpg"))
+
+
+def store_depth_img(dirpath: str, depths: Sequence[np.ndarray], name: str = "depth") -> None:
+    """Write normalized depth maps as grayscale PNGs (+ raw .npy)."""
+    os.makedirs(dirpath, exist_ok=True)
+    for i, depth in enumerate(depths):
+        d = np.asarray(depth, dtype=np.float64)
+        finite = np.isfinite(d)
+        lo = d[finite].min() if finite.any() else 0.0
+        hi = d[finite].max() if finite.any() else 1.0
+        norm = np.zeros_like(d) if hi == lo else np.clip((d - lo) / (hi - lo), 0, 1)
+        Image.fromarray((norm * 255).astype(np.uint8), mode="L").save(
+            os.path.join(dirpath, f"{name}{i:03d}.png")
+        )
+        np.save(os.path.join(dirpath, f"{name}{i:03d}.npy"), np.asarray(depth))
+
+
+def store_video(dirpath: str, rgbs: Sequence[np.ndarray], name: str = "video") -> str:
+    """mp4 export of a rendered sequence (20 fps, as the reference)."""
+    try:
+        import imageio  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "store_video requires imageio(+ffmpeg), not present in this image; "
+            "the jpg sequence from store_image is written instead"
+        ) from e
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, f"{name}.mp4")
+    imageio.mimwrite(path, [_to_u8(r) for r in rgbs], fps=20, quality=8)
+    return path
+
+
+def write_stats(path: str, **metric_dicts: Dict[str, float]) -> None:
+    """results.json writer (models/utils.py:62-73): one entry per metric."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        name: {k: float(v) for k, v in d.items()} for name, d in metric_dicts.items()
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)

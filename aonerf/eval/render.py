@@ -1,0 +1,81 @@
+"""Tiled full-image rendering with static-shape chunks.
+
+TPU-first replacement for the reference's host-side chunk loop
+(models/vanilla_nerf/model.py:295-348, model_autodecoder.py:479-541, default
+chunk 3840 = opt.py:103): rays are padded to a whole number of fixed-size
+tiles so ONE compiled program renders every tile; results are cropped back.
+"""
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_RAY_KEYS = ("rays_o", "rays_d", "viewdirs")
+
+
+def make_chunk_renderer(
+    model,
+    white_bkgd: bool,
+    near: float,
+    far: float,
+    uses_latents: bool = False,
+    method=None,
+) -> Callable:
+    """A jitted deterministic fine-level renderer for one ray chunk.
+
+    Returns fn(params, rays_chunk[, latents]) -> (rgb, acc, depth).
+    ``method`` selects a non-__call__ apply method (e.g. the AE model's
+    ``render``).
+    """
+    if uses_latents:
+
+        @jax.jit
+        def render_chunk(params, rays, latents):
+            out = model.apply(
+                params, rays, False, white_bkgd, near, far, latents, method=method
+            )
+            return out[-1]
+
+    else:
+
+        @jax.jit
+        def render_chunk(params, rays):
+            out = model.apply(params, rays, False, white_bkgd, near, far)
+            return out[-1]
+
+    return render_chunk
+
+
+def render_rays_chunked(
+    render_chunk: Callable,
+    params,
+    rays: Dict[str, jnp.ndarray],
+    chunk: int = 4096,
+    latents: Optional[Dict[str, jnp.ndarray]] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Render all rays in fixed-size chunks (padding the tail tile).
+
+    rays: dict with (N, 3) 'rays_o'/'rays_d'/'viewdirs'.
+    Returns host numpy (rgb (N,3), acc (N,), depth (N,)).
+    """
+    n = rays["rays_o"].shape[0]
+    n_pad = (-n) % chunk
+    padded = {
+        k: jnp.concatenate([rays[k], jnp.repeat(rays[k][-1:], n_pad, axis=0)], axis=0)
+        if n_pad
+        else rays[k]
+        for k in _RAY_KEYS
+    }
+    outs = []
+    for i in range(0, n + n_pad, chunk):
+        tile = {k: jax.lax.slice_in_dim(padded[k], i, i + chunk) for k in _RAY_KEYS}
+        if latents is not None:
+            outs.append(render_chunk(params, tile, latents))
+        else:
+            outs.append(render_chunk(params, tile))
+    rgb = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)[:n]
+    acc = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)[:n]
+    depth = np.concatenate([np.asarray(o[2]) for o in outs], axis=0)[:n]
+    return rgb, acc, depth

@@ -1,0 +1,200 @@
+"""Fused NeRF ray-march Pallas kernel: MLP trunk + heads + alpha compositing.
+
+One kernel evaluates a whole hierarchy level for a tile of rays: the 8x256
+trunk (with the skip connection folded into a split matmul), density and
+bottleneck heads, the view-conditioned rgb branch, sigmoid/relu activations,
+and the volumetric integrator — all without writing any (rays*samples, 256)
+activation to HBM. The XLA path writes ~0.8 GB of activations per fine-level
+forward at 4096 rays; here everything but the inputs/outputs stays in VMEM.
+
+Per-tile layout (RT rays x S samples, rows = RT*S):
+  x_enc (rows, 63) -> trunk matmuls on the MXU -> sigma (rows,1), rgb (rows,3)
+  -> reshape (RT, S) -> transmittance via a strictly-lower-triangular matmul
+  in log space (MXU-friendly exclusive cumprod) -> comp_rgb/acc/depth/weights.
+
+Numerics match aonerf.ops.render.volumetric_rendering except the cumprod,
+which is computed as exp(cumsum(log(1 - alpha + eps))) — equal to within a
+few ULP (the speed path; the jnp path remains the parity reference).
+
+Forward-only (eval/render); training uses the XLA pipeline. Reference
+behavior being fused: helper.py:136-140 (enc, done outside), model.py:95-120
+(MLP), helper.py:157-195 (integrator).
+"""
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def mlp_params_from_flax(params: Dict, netwidth: int = 256) -> Dict[str, jnp.ndarray]:
+    """Flatten a NeRFMLP flax param tree into the kernel's weight dict,
+    splitting the post-skip layer's kernel into trunk/skip halves."""
+    p = params["params"] if "params" in params else params
+    out = {}
+    for i in range(8):
+        k = p[f"pts_{i}"]["kernel"]
+        b = p[f"pts_{i}"]["bias"]
+        if i == 5:  # consumes cat([x, inputs]) -> split
+            out["w5x"] = k[:netwidth]
+            out["w5i"] = k[netwidth:]
+        else:
+            out[f"w{i}"] = k
+        out[f"b{i}"] = b.reshape(1, -1)
+    out["wd"] = p["density"]["kernel"]
+    out["bd"] = p["density"]["bias"].reshape(1, -1)
+    out["wb"] = p["bottleneck"]["kernel"]
+    out["bb"] = p["bottleneck"]["bias"].reshape(1, -1)
+    kv = p["views_0"]["kernel"]
+    out["wva"] = kv[:netwidth]  # bottleneck half
+    out["wvb"] = kv[netwidth:]  # view-encoding half
+    out["bv"] = p["views_0"]["bias"].reshape(1, -1)
+    out["wr"] = p["rgb"]["kernel"]
+    out["br"] = p["rgb"]["bias"].reshape(1, -1)
+    return out
+
+
+_WEIGHT_NAMES = (
+    "w0", "b0", "w1", "b1", "w2", "b2", "w3", "b3", "w4", "b4",
+    "w5x", "w5i", "b5", "w6", "b6", "w7", "b7",
+    "wd", "bd", "wb", "bb", "wva", "wvb", "bv", "wr", "br",
+)
+
+
+def _kernel(
+    # per-tile data
+    t_ref, o_ref, d_ref, cond_ref, xenc_ref,
+    # weights (full, VMEM-resident)
+    *refs,
+    S: int, white_bkgd: bool,
+):
+    w = dict(zip(_WEIGHT_NAMES, refs[: len(_WEIGHT_NAMES)]))
+    comp_ref, acc_ref, depth_ref, weights_ref = refs[len(_WEIGHT_NAMES):]
+
+    f32 = jnp.float32
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    xe = xenc_ref[:]  # (rows, 63)
+    rows = xe.shape[0]
+    rt = rows // S
+
+    x = jnp.maximum(dot(xe, w["w0"][:]) + w["b0"][:], 0.0)
+    for i in (1, 2, 3, 4):
+        x = jnp.maximum(dot(x, w[f"w{i}"][:]) + w[f"b{i}"][:], 0.0)
+    # skip: layer 5 consumes cat([x, inputs]) == split matmul
+    x = jnp.maximum(dot(x, w["w5x"][:]) + dot(xe, w["w5i"][:]) + w["b5"][:], 0.0)
+    for i in (6, 7):
+        x = jnp.maximum(dot(x, w[f"w{i}"][:]) + w[f"b{i}"][:], 0.0)
+
+    raw_sigma = dot(x, w["wd"][:]) + w["bd"][:]  # (rows, 1)
+    bottleneck = dot(x, w["wb"][:]) + w["bb"][:]  # (rows, 256)
+
+    cond = cond_ref[:]  # (RT, 27)
+    c_part = dot(cond, w["wvb"][:])  # (RT, 128)
+    c_rows = jnp.broadcast_to(c_part[:, None, :], (rt, S, c_part.shape[-1])).reshape(
+        rows, -1
+    )
+    v = jnp.maximum(dot(bottleneck, w["wva"][:]) + c_rows + w["bv"][:], 0.0)
+    raw_rgb = dot(v, w["wr"][:]) + w["br"][:]  # (rows, 3)
+
+    # ---- integrate (helper.py:157-195 semantics)
+    t = t_ref[:]  # (RT, S)
+    d = d_ref[:]  # (RT, 3)
+    dnorm = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))  # (RT, 1)
+    dists = jnp.concatenate(
+        [t[:, 1:] - t[:, :-1], jnp.full((rt, 1), 1e10, f32)], axis=-1
+    )
+    dists = dists * dnorm
+    sigma = jnp.maximum(raw_sigma.reshape(rt, S), 0.0)
+    alpha = 1.0 - jnp.exp(-sigma * dists)
+    # exclusive cumprod as a strictly-lower-triangular matmul in log space
+    logv = jnp.log(1.0 - alpha + 1e-10)  # (RT, S)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    strict_lower = (col_ids < row_ids).astype(f32)  # out[i] = sum_{j<i} in[j]
+    trans = jnp.exp(dot(logv, strict_lower.T))
+
+    weights = alpha * trans  # (RT, S)
+    rgb = jax.nn.sigmoid(raw_rgb).reshape(rt, S, 3)
+    comp = jnp.sum(weights[..., None] * rgb, axis=-2)  # (RT, 3)
+    acc = jnp.sum(weights, axis=-1)  # (RT,)
+    depth = jnp.sum(weights * t, axis=-1)
+    if white_bkgd:
+        comp = comp + (1.0 - acc[..., None])
+
+    comp_ref[:] = comp
+    acc_ref[:] = acc[:, None]
+    depth_ref[:] = depth[:, None]
+    weights_ref[:] = weights
+
+
+@functools.partial(
+    jax.jit, static_argnames=("white_bkgd", "ray_tile", "interpret")
+)
+def fused_render_level(
+    kernel_params: Dict[str, jnp.ndarray],
+    t_vals: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    viewdirs_enc: jnp.ndarray,
+    samples_enc: jnp.ndarray,
+    white_bkgd: bool,
+    ray_tile: int = 64,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Render one hierarchy level for R rays (R % ray_tile == 0).
+
+    t_vals (R, S); rays_o/rays_d (R, 3); viewdirs_enc (R, 27);
+    samples_enc (R, S, Dpos) positional-encoded sample points.
+    Returns (comp_rgb (R,3), acc (R,), depth (R,), weights (R,S)).
+    """
+    R, S = t_vals.shape
+    if R % ray_tile != 0:
+        raise ValueError(f"rays {R} not a multiple of ray_tile {ray_tile}")
+    dpos = samples_enc.shape[-1]
+    xenc = samples_enc.reshape(R * S, dpos)
+    n_tiles = R // ray_tile
+    rows_tile = ray_tile * S
+
+    weight_list = [kernel_params[name].astype(jnp.float32) for name in _WEIGHT_NAMES]
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((ray_tile, S), lambda i: (i, 0), memory_space=pltpu.ANY if False else pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, viewdirs_enc.shape[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_tile, dpos), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_list],
+        out_specs=[
+            pl.BlockSpec((ray_tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+
+    comp, acc, depth, weights = pl.pallas_call(
+        functools.partial(_kernel, S=S, white_bkgd=white_bkgd),
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 3), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, S), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        t_vals, rays_o, rays_d, viewdirs_enc, xenc, *weight_list
+    )
+    return comp, acc[:, 0], depth[:, 0], weights

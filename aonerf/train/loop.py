@@ -1,0 +1,358 @@
+"""End-to-end training/eval orchestration (the reference's run.py + Lightning
+Trainer + Lit systems, re-designed for JAX).
+
+One Trainer covers the experiment types the reference dispatches on
+(run.py:21-34): 'vanilla' (LitNeRF), 'vanilla_autodecoder'
+(LitNeRF_AutoDecoder) and 'vanilla_ae_art' (LitNeRF_AE_ART). Differences from
+the reference architecture, by design:
+  - no Lightning; the train loop is a host while-loop around ONE jitted step
+  - vanilla: the whole scene's ray buffers live on device; batches are
+    gathered on-device (no DataLoader workers)
+  - distribution: a jax mesh with rays sharded over 'data' (see
+    aonerf.parallel) instead of DDP/NCCL
+  - checkpoints: Orbax (params+opt+step), top-k by val PSNR
+"""
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aonerf.data import dataset_dict
+from aonerf.eval.metrics import masked_psnr, psnr_image, ssim_image, summarize_metric
+from aonerf.eval.io import store_image, write_stats
+from aonerf.eval.render import make_chunk_renderer, render_rays_chunked
+from aonerf.models import ArticulatedNeRF, CodeLibraryArticulated, NeRF
+from aonerf.parallel import make_mesh, replicated_sharding, shard_batch, shard_params
+from aonerf.train.step import (
+    create_train_state,
+    make_adam,
+    make_autodecoder_train_step,
+    make_vanilla_train_step,
+)
+from aonerf.utils.ckpt import CheckpointManager
+from aonerf.utils.config import Config
+from aonerf.utils.logging import MetricLogger
+
+
+def _compute_dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.compute_dtype == "bf16" else jnp.float32
+
+
+class Trainer:
+    def __init__(self, cfg: Config, use_mesh: bool = True):
+        self.cfg = cfg
+        self.run_dir = os.path.join(cfg.output_path, cfg.exp_name)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.logger = MetricLogger(self.run_dir)
+        self.ckpt = CheckpointManager(os.path.join(self.run_dir, "ckpts"), keep=cfg.ckpt_keep)
+        self.mesh = make_mesh(n_model=cfg.n_model_shards) if use_mesh else None
+        self.rng = np.random.default_rng(cfg.seed)
+        self.base_key = jax.random.PRNGKey(cfg.seed)
+
+        ds_cls = dataset_dict[cfg.dataset_name]
+        mlp_kwargs = dict(
+            num_coarse_samples=cfg.num_coarse_samples,
+            num_fine_samples=cfg.num_fine_samples,
+            min_deg_point=cfg.min_deg_point,
+            max_deg_point=cfg.max_deg_point,
+            deg_view=cfg.deg_view,
+            noise_std=cfg.noise_std,
+            lindisp=cfg.lindisp,
+            compute_dtype=_compute_dtype(cfg),
+        )
+
+        self.tx = make_adam(
+            lr_init=cfg.lr_init,
+            lr_final=cfg.lr_final,
+            max_steps=cfg.run_max_steps,
+            lr_delay_steps=cfg.lr_delay_steps,
+            lr_delay_mult=cfg.lr_delay_mult,
+        )
+
+        if cfg.exp_type == "vanilla":
+            self.model = NeRF(**mlp_kwargs)
+            self.code_library = None
+            split = "test" if cfg.run_eval else "train"
+            self.dataset = ds_cls(
+                cfg.root_dir, split=split, img_wh=cfg.img_wh, white_back=cfg.white_back,
+                eval_inference=cfg.render_name if cfg.run_eval else None,
+            )
+            if not cfg.run_eval:
+                self.val_dataset = ds_cls(
+                    cfg.root_dir, split="val", img_wh=cfg.img_wh, white_back=cfg.white_back
+                )
+        elif cfg.exp_type in ("vanilla_autodecoder", "vanilla_ae_art"):
+            if cfg.exp_type == "vanilla_autodecoder":
+                self.model = ArticulatedNeRF(**mlp_kwargs)
+                self.code_library = CodeLibraryArticulated(
+                    n_max_objs=cfg.n_max_objs,
+                    obj_code_dim=cfg.obj_code_dim,
+                    n_max_articulations=cfg.n_max_articulations,
+                    art_code_dim=cfg.art_code_dim,
+                )
+            else:  # auto-encoder: latents predicted from the source image
+                from aonerf.models.ae import AutoEncoderArticulatedNeRF
+
+                ae_kwargs = dict(mlp_kwargs)
+                ae_kwargs.pop("netdepth", None)
+                self.model = AutoEncoderArticulatedNeRF(**ae_kwargs)
+                self.code_library = None
+            self.dataset = ds_cls(
+                cfg.root_dir, split="test" if cfg.run_eval else "train",
+                img_wh=cfg.img_wh, white_back=cfg.white_back,
+                eval_inference=cfg.render_name if cfg.run_eval else None,
+                ray_batch_size=cfg.batch_size,
+            )
+            self.val_dataset = self.dataset  # multi dataset serves all splits
+        else:
+            raise ValueError(f"unknown exp_type {cfg.exp_type!r}")
+
+        self.near, self.far = self.dataset.near, self.dataset.far
+        self._init_state()
+
+    # ----------------------------------------------------------------- setup
+
+    def _init_state(self) -> None:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed)
+        dummy = self._dummy_rays()
+        if cfg.exp_type == "vanilla":
+            params = self.model.init(key, dummy, False, cfg.white_back, self.near, self.far)
+            self.step_fn = make_vanilla_train_step(
+                self.model, self.tx, cfg.white_back, self.near, self.far,
+                batch_size=cfg.batch_size, randomized=cfg.randomized,
+            )
+        elif cfg.exp_type == "vanilla_ae_art":
+            from aonerf.train.step_ae import make_ae_train_step
+
+            w, h = cfg.img_wh
+            src = jnp.zeros((1, 3, h, w))
+            params = self.model.init(
+                key, dummy, src, jnp.asarray(0.5), False, cfg.white_back,
+                self.near, self.far,
+            )
+            self.step_fn = make_ae_train_step(
+                self.model, self.tx, cfg.white_back, self.near, self.far,
+                randomized=cfg.randomized,
+            )
+        else:
+            lib_params = self.code_library.init(key, jnp.asarray(0), jnp.asarray(0))
+            latents = self.code_library.apply(lib_params, jnp.asarray(0), jnp.asarray(0))
+            latents = {k: jnp.atleast_2d(v) for k, v in latents.items()}
+            model_params = self.model.init(
+                key, dummy, False, cfg.white_back, self.near, self.far, latents
+            )
+            params = {"model": model_params, "codes": lib_params}
+            self.step_fn = make_autodecoder_train_step(
+                self.model, self.code_library, self.tx, cfg.white_back,
+                self.near, self.far, randomized=cfg.randomized,
+            )
+        if self.mesh is not None:
+            params = shard_params(self.mesh, params, tp=cfg.n_model_shards > 1)
+        self.state = create_train_state(params, self.tx)
+        if self.mesh is not None and cfg.n_model_shards == 1:
+            self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+        if cfg.exp_type == "vanilla":
+            self._renderer = make_chunk_renderer(
+                self.model, cfg.white_back, self.near, self.far
+            )
+        elif cfg.exp_type == "vanilla_autodecoder":
+            self._renderer = make_chunk_renderer(
+                self.model, cfg.white_back, self.near, self.far, uses_latents=True
+            )
+        else:  # AE: render through the field submodule with encoded latents
+            self._renderer = make_chunk_renderer(
+                self.model, cfg.white_back, self.near, self.far,
+                uses_latents=True, method=self.model.render,
+            )
+        if cfg.ckpt_path:
+            mgr = CheckpointManager(cfg.ckpt_path)
+            self.state = mgr.restore(self.state)
+            mgr.close()
+        elif self.ckpt.latest_step() is not None:
+            self.state = self.ckpt.restore(self.state)
+
+    def _dummy_rays(self) -> Dict[str, jnp.ndarray]:
+        d = np.array([[0.0, 0.0, -1.0]] * 8, np.float32)
+        return {
+            "rays_o": jnp.asarray(-4.0 * d),
+            "rays_d": jnp.asarray(d),
+            "viewdirs": jnp.asarray(d),
+            "target": jnp.zeros((8, 3)),
+        }
+
+    # ----------------------------------------------------------------- train
+
+    def fit(self, max_steps: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        total = max_steps or (cfg.num_epochs * cfg.steps_per_epoch)
+        start = int(jax.device_get(self.state.step))
+
+        if cfg.exp_type == "vanilla":
+            buffers = {k: jnp.asarray(v) for k, v in self.dataset.train_buffers().items()}
+            if self.mesh is not None:
+                buffers = shard_batch(self.mesh, buffers)
+
+        last = {}
+        for step in range(start, total):
+            if cfg.exp_type == "vanilla":
+                self.state, metrics = self.step_fn(self.state, buffers, self.base_key)
+            else:
+                batch = self.dataset.sample_train(self.rng)
+                batch = self._device_batch(batch)
+                self.state, metrics = self.step_fn(self.state, batch, self.base_key)
+
+            if (step + 1) % 100 == 0 or step == start:
+                last = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                self.logger.log(step + 1, last, prefix="train")
+            if (step + 1) % cfg.val_every_steps == 0:
+                val = self.validate()
+                self.logger.log(step + 1, val, prefix="val")
+                last.update({f"val_{k}": v for k, v in val.items()})
+            if (step + 1) % cfg.ckpt_every_steps == 0 or step + 1 == total:
+                self.ckpt.save(step + 1, jax.device_get(self.state), last.get("val_psnr"))
+        return last
+
+    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        drop = () if self.cfg.exp_type == "vanilla_ae_art" else ("src_imgs",)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k not in drop}
+        if self.mesh is not None:
+            batch = shard_batch(self.mesh, batch)
+        return batch
+
+    # ------------------------------------------------------------------ eval
+
+    def _latents_for(self, instance_id, articulation_id, is_test: bool = False):
+        latents = self.code_library.apply(
+            self.state.params["codes"],
+            jnp.asarray(instance_id),
+            jnp.asarray(articulation_id),
+            is_test=is_test,
+        )
+        return {k: jnp.atleast_2d(v) for k, v in latents.items()}
+
+    def _render_setup(self, img: Dict, is_test: bool = False):
+        """(params_for_renderer, latents) for the articulated variants."""
+        if self.cfg.exp_type == "vanilla_autodecoder":
+            latents = self._latents_for(
+                img["instance_id"], img["articulation_id"], is_test=is_test
+            )
+            return self.state.params["model"], latents
+        # AE: encode the source image; condition the deformation on the
+        # ground-truth angle at val time and on the PREDICTED one at test
+        # time (the reference's intended-but-broken inference path,
+        # model_ae_art.py:566-570 — here it works).
+        params = self.state.params
+        src = jnp.asarray(img["src_imgs"])[None]
+        latents = self.model.apply(params, src, method=self.model.encode)
+        pred_state = self.model.apply(
+            params, latents["articulation"], method=self.model.predict_state
+        )
+        deg = pred_state.reshape(()) if (is_test or "deg" not in img) else jnp.asarray(img["deg"])
+        latents = dict(latents)
+        latents["articulation_deg"] = self.model.apply(
+            params, deg, method=self.model.deg_code
+        )
+        latents = {k: jnp.atleast_2d(v) for k, v in latents.items()}
+        return params, latents
+
+    def validate(self, n_images: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        psnrs, obj_psnrs = [], []
+        if cfg.exp_type == "vanilla":
+            n = min(n_images or cfg.limit_val_batches, self.val_dataset.num_images)
+            for i in range(n):
+                s = self.val_dataset.get_image(i)
+                rays = {
+                    "rays_o": jnp.asarray(s.rays_o),
+                    "rays_d": jnp.asarray(s.rays_d),
+                    "viewdirs": jnp.asarray(s.viewdirs),
+                }
+                rgb, _, _ = render_rays_chunked(
+                    self._renderer, self.state.params, rays, chunk=cfg.chunk
+                )
+                psnrs.append(float(psnr_image(jnp.asarray(rgb), jnp.asarray(s.target))))
+        else:
+            n = n_images or 1
+            for _ in range(n):
+                ii = int(self.rng.integers(self.dataset.n_instances))
+                di = int(self.rng.integers(self.dataset.n_articulations(ii)))
+                vi = int(self.rng.integers(self.dataset.n_images(ii, di)))
+                img = self.dataset.get_image(ii, di, vi)
+                rays = {k: jnp.asarray(img[k]) for k in ("rays_o", "rays_d", "viewdirs")}
+                render_params, latents = self._render_setup(img)
+                rgb, _, _ = render_rays_chunked(
+                    self._renderer, render_params, rays,
+                    chunk=cfg.chunk, latents=latents,
+                )
+                target = jnp.asarray(img["target"])
+                psnrs.append(float(psnr_image(jnp.asarray(rgb), target)))
+                obj_psnrs.append(
+                    float(masked_psnr(jnp.asarray(rgb), target, jnp.asarray(img["instance_mask"])))
+                )
+        out = {"psnr": float(np.mean(psnrs))}
+        if obj_psnrs:
+            out["psnr_obj"] = float(np.mean(obj_psnrs))
+        return out
+
+    def test(self) -> Dict[str, Dict[str, float]]:
+        """Full test render + metrics + results.json (reference
+        test_epoch_end, model.py:459-507)."""
+        cfg = self.cfg
+        w, h = cfg.img_wh
+        rgbs, targets, masks = [], [], []
+        if cfg.exp_type == "vanilla":
+            for i in range(self.dataset.num_images):
+                s = self.dataset.get_image(i)
+                rays = {
+                    "rays_o": jnp.asarray(s.rays_o),
+                    "rays_d": jnp.asarray(s.rays_d),
+                    "viewdirs": jnp.asarray(s.viewdirs),
+                }
+                rgb, _, _ = render_rays_chunked(
+                    self._renderer, self.state.params, rays, chunk=cfg.chunk
+                )
+                rgbs.append(rgb.reshape(h, w, 3))
+                targets.append(s.target.reshape(h, w, 3))
+                masks.append(s.instance_mask.reshape(h, w))
+        else:
+            for pose_idx in range(19):  # interpolated articulation sweep
+                img = self.dataset.get_test_image(0, pose_idx)
+                rays = {k: jnp.asarray(img[k]) for k in ("rays_o", "rays_d", "viewdirs")}
+                render_params, latents = self._render_setup(img, is_test=True)
+                rgb, _, _ = render_rays_chunked(
+                    self._renderer, render_params, rays,
+                    chunk=cfg.chunk, latents=latents,
+                )
+                rgbs.append(rgb.reshape(h, w, 3))
+                targets.append(img["target"].reshape(h, w, 3))
+                masks.append(img["instance_mask"].reshape(h, w))
+
+        psnr = summarize_metric(
+            [psnr_image(jnp.asarray(a), jnp.asarray(b)) for a, b in zip(rgbs, targets)]
+        )
+        ssim = summarize_metric(
+            [ssim_image(jnp.asarray(a), jnp.asarray(b)) for a, b in zip(rgbs, targets)]
+        )
+        psnr_obj = summarize_metric(
+            [
+                masked_psnr(jnp.asarray(a), jnp.asarray(b), jnp.asarray(m))
+                for a, b, m in zip(rgbs, targets, masks)
+            ]
+        )
+        lpips = {"test": float("nan")}  # gated: no pretrained VGG in-image
+
+        image_dir = os.path.join(self.run_dir, cfg.render_name)
+        store_image(image_dir, rgbs, "image")
+        write_stats(
+            os.path.join(self.run_dir, "results.json"),
+            psnr=psnr, ssim=ssim, lpips=lpips, psnr_obj=psnr_obj,
+        )
+        return {"psnr": psnr, "ssim": ssim, "lpips": lpips, "psnr_obj": psnr_obj}
+
+    def close(self) -> None:
+        self.logger.close()
+        self.ckpt.close()

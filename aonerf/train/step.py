@@ -1,0 +1,165 @@
+"""Jitted train steps with on-device ray-batch sampling.
+
+TPU-first redesign of the reference's training_step + optimizer_step
+(models/vanilla_nerf/model.py:256-419, model_autodecoder.py:395-477,608-636):
+one compiled XLA program per step does (batch gather -> hierarchical render ->
+MSE losses -> grads -> Adam with the log-lerp LR schedule). The gradient
+all-reduce over the data mesh axis is emitted by XLA from the shardings
+(params replicated, rays sharded) — the reference's DDP/NCCL equivalent.
+"""
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from aonerf.ops.math import img2mse, mse2psnr
+from aonerf.train.losses import code_regularization
+from aonerf.train.lr import log_lerp_lr
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_adam(
+    lr_init: float = 5.0e-4,
+    lr_final: float = 5.0e-6,
+    max_steps: int = 100_000,
+    lr_delay_steps: int = 2500,
+    lr_delay_mult: float = 0.01,
+) -> optax.GradientTransformation:
+    """Adam(0.9, 0.999) with the reference's log-lerp + sin-delay schedule."""
+    schedule = partial(
+        log_lerp_lr,
+        lr_init=lr_init,
+        lr_final=lr_final,
+        max_steps=max_steps,
+        lr_delay_steps=lr_delay_steps,
+        lr_delay_mult=lr_delay_mult,
+    )
+    return optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def create_train_state(params: Any, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+    )
+
+
+def sample_ray_batch(
+    buffers: Dict[str, jnp.ndarray], key: jax.Array, batch_size: int
+) -> Dict[str, jnp.ndarray]:
+    """Uniform with-replacement gather of ``batch_size`` rays from the
+    device-resident scene buffers — replaces the reference's host DataLoader
+    of precomputed rays (datasets/sapien.py:83-131) with a single on-device
+    gather that pipelines with compute."""
+    n = buffers["rays_o"].shape[0]
+    idx = jax.random.randint(key, (batch_size,), 0, n)
+    return {k: v[idx] for k, v in buffers.items()}
+
+
+def make_vanilla_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    white_bkgd: bool,
+    near: float,
+    far: float,
+    batch_size: int = 2048,
+    randomized: bool = True,
+    donate: bool = True,
+) -> Callable:
+    """Train step for the vanilla NeRF (reference LitNeRF.training_step,
+    model.py:256-282: loss = MSE(coarse) + MSE(fine)).
+
+    Returns step(state, buffers, base_key) -> (state, metrics); the per-step
+    PRNG is derived from fold_in(base_key, step) so runs are host-invariant
+    and resumable.
+    """
+
+    def loss_fn(params, batch, render_key):
+        out = model.apply(
+            params, batch, randomized, white_bkgd, near, far, key=render_key
+        )
+        loss0 = img2mse(out[0][0], batch["target"])
+        loss1 = img2mse(out[1][0], batch["target"])
+        loss = loss1 + loss0
+        return loss, (loss0, loss1)
+
+    def train_step(state: TrainState, buffers, base_key) -> Tuple[TrainState, Dict]:
+        key = jax.random.fold_in(base_key, state.step)
+        sample_key, render_key = jax.random.split(key)
+        batch = sample_ray_batch(buffers, sample_key, batch_size)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (loss0, loss1)), grads = grad_fn(state.params, batch, render_key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "psnr0": mse2psnr(loss0),
+            "psnr1": mse2psnr(loss1),
+            "lr": log_lerp_lr(state.step),
+        }
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_autodecoder_train_step(
+    model,
+    code_library,
+    tx: optax.GradientTransformation,
+    white_bkgd: bool,
+    near: float,
+    far: float,
+    randomized: bool = True,
+    reg_weight: float = 1e-4,
+    donate: bool = True,
+) -> Callable:
+    """Train step for the articulated auto-decoder (reference
+    LitNeRF_AutoDecoder.training_step, model_autodecoder.py:395-477:
+    loss = MSE0 + MSE1 + 1e-4 * code-norm regularization). ``params`` is
+    {'model': ..., 'codes': ...} and both are optimized jointly by one Adam,
+    as in configure_optimizers (model_autodecoder.py:604-606).
+
+    Takes a fixed-shape host-sampled batch (see SapienMultiDataset).
+    """
+
+    def loss_fn(params, batch, render_key):
+        latents = code_library.apply(
+            params["codes"], batch["instance_id"], batch["articulation_id"]
+        )
+        latents = {k: jnp.atleast_2d(v) for k, v in latents.items()}
+        out = model.apply(
+            params["model"], batch, randomized, white_bkgd, near, far, latents,
+            key=render_key,
+        )
+        loss0 = img2mse(out[0][0], batch["target"])
+        loss1 = img2mse(out[1][0], batch["target"])
+        reg = code_regularization(latents, weight=reg_weight)
+        loss = loss1 + loss0 + reg
+        return loss, (loss0, loss1, reg)
+
+    def train_step(state: TrainState, batch, base_key) -> Tuple[TrainState, Dict]:
+        render_key = jax.random.fold_in(base_key, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (loss0, loss1, reg)), grads = grad_fn(state.params, batch, render_key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "loss_reg": reg,
+            "psnr0": mse2psnr(loss0),
+            "psnr1": mse2psnr(loss1),
+            "lr": log_lerp_lr(state.step),
+        }
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,120 @@
+"""Experiment configuration: typed dataclass + JSON override merge.
+
+Replaces the reference's ~70-flag argparse namespace with JSON-file merge
+(opt.py:4-224). Field names follow this codebase; ``_ALIASES`` maps the
+reference's flag names so its config/*.json files load unchanged. Unknown
+keys are kept in ``extras`` (the reference silently setattr's them,
+opt.py:221-222) so downstream tools can still read them.
+"""
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass
+class Config:
+    # experiment
+    exp_type: str = "vanilla"  # vanilla | vanilla_autodecoder | vanilla_ae_art
+    exp_name: str = "exp"
+    dataset_name: str = "sapien"
+    root_dir: str = ""
+    output_path: str = "./results"
+    render_name: str = "render"
+    run_eval: bool = False
+    seed: int = 0
+
+    # data
+    img_wh: Tuple[int, int] = (640, 480)
+    white_back: bool = True
+    batch_size: int = 2048  # rays per step (vanilla); 4096 via sapien_multi
+    chunk: int = 3840  # eval rays per tile (opt.py:103)
+    samples_per_epoch: int = 4000  # sapien_multi virtual epoch
+
+    # field
+    num_coarse_samples: int = 64
+    num_fine_samples: int = 128
+    min_deg_point: int = 0
+    max_deg_point: int = 10
+    deg_view: int = 4
+    netdepth: int = 8
+    netwidth: int = 256
+    noise_std: float = 0.0
+    lindisp: bool = False
+    compute_dtype: str = "f32"  # f32 | bf16
+
+    # codes (articulated)
+    n_max_objs: int = 4
+    obj_code_dim: int = 128
+    n_max_articulations: int = 10
+    art_code_dim: int = 32
+
+    # optimization
+    lr_init: float = 5.0e-4
+    lr_final: float = 5.0e-6
+    lr_delay_steps: int = 2500
+    lr_delay_mult: float = 0.01
+    run_max_steps: int = 100_000
+    num_epochs: int = 100
+    steps_per_epoch: int = 1000
+    randomized: bool = True
+
+    # checkpointing / eval cadence
+    ckpt_keep: int = 5
+    ckpt_every_steps: int = 2000
+    val_every_steps: int = 1000
+    limit_val_batches: int = 5
+    ckpt_path: Optional[str] = None
+    weight_path: Optional[str] = None
+
+    # parallelism
+    n_model_shards: int = 1
+
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+
+# reference flag name -> Config field
+_ALIASES = {
+    "N_samples": "num_coarse_samples",
+    "N_importance": "num_fine_samples",
+    "N_emb_xyz": "max_deg_point",
+    "N_emb_dir": "deg_view",
+    "N_max_objs": "n_max_objs",
+    "N_obj_code_length": "obj_code_dim",
+    "use_disp": "lindisp",
+    "D": "netdepth",
+    "W": "netwidth",
+    "lr": "lr_init",
+    "save_path": "render_name",
+}
+
+
+def _coerce(name: str, value: Any) -> Any:
+    if name == "img_wh" and isinstance(value, (list, tuple)):
+        return tuple(int(v) for v in value)
+    return value
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] = None) -> Config:
+    """Build a Config from an optional JSON file plus explicit overrides
+    (overrides win, as CLI flags do in the reference... actually the
+    reference lets the JSON win, opt.py:220-222 — we keep JSON < overrides
+    because it is strictly more useful and documented here)."""
+    cfg = Config()
+    fields = {f.name for f in dataclasses.fields(Config)}
+
+    def apply(d: Dict[str, Any]):
+        for key, value in d.items():
+            name = _ALIASES.get(key, key)
+            if name in fields and name != "extras":
+                setattr(cfg, name, _coerce(name, value))
+            else:
+                cfg.extras[key] = value
+
+    if path:
+        with open(path) as f:
+            apply(json.load(f))
+    if overrides:
+        apply({k: v for k, v in overrides.items() if v is not None})
+    return cfg

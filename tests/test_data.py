@@ -1,0 +1,145 @@
+"""Tests for synthetic datagen + SAPIEN-layout loaders."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from aonerf.data import SapienDataset, SapienMultiDataset, dataset_dict
+from aonerf.data.camera import get_ray_directions_np, get_rays_np
+from aonerf.data.synthetic import (
+    generate_multi_scene,
+    generate_single_scene,
+    laptop_scene,
+    render_scene,
+)
+
+
+@pytest.fixture(scope="module")
+def single_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sapien_single"))
+    generate_single_scene(root, img_wh=(64, 48), n_train=3, n_val=2, n_test=2)
+    return root
+
+
+@pytest.fixture(scope="module")
+def multi_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sapien_multi"))
+    generate_multi_scene(
+        root, img_wh=(48, 36), n_instances=2, degrees=(0, 45, 90), n_images=2
+    )
+    return root
+
+
+class TestCameraNp:
+    def test_matches_jnp_ops(self):
+        import jax.numpy as jnp
+        from aonerf import ops
+
+        h, w, f = 6, 8, 11.0
+        d_np = get_ray_directions_np(h, w, f)
+        d_j = np.asarray(ops.get_ray_directions(h, w, f))
+        np.testing.assert_allclose(d_np, d_j, atol=1e-6)
+
+        c2w = np.hstack([np.eye(3), [[0.5], [1.0], [4.0]]]).astype(np.float32)
+        o_np, v_np, rd_np, r_np = get_rays_np(d_np, c2w)
+        o_j, v_j, rd_j, r_j = ops.get_rays(jnp.asarray(d_np), jnp.asarray(c2w))
+        np.testing.assert_allclose(o_np, np.asarray(o_j), atol=1e-6)
+        np.testing.assert_allclose(v_np, np.asarray(v_j), atol=1e-6)
+        np.testing.assert_allclose(r_np, np.asarray(r_j), atol=1e-6)
+
+
+class TestSyntheticScene:
+    def test_render_produces_object(self):
+        from aonerf.data.camera import look_at_c2w
+
+        boxes = laptop_scene(60.0)
+        c2w = look_at_c2w(np.array([0, -3.5, 2.0]), np.zeros(3), np.array([0.0, 0, 1.0]))
+        rgb, alpha, seg = render_scene(boxes, c2w, 48, 64, 40.0)
+        assert rgb.shape == (48, 64, 3)
+        assert 0.02 < alpha.mean() < 0.98  # object visible, not filling frame
+        assert set(np.unique(seg)) <= {0, 1, 2}
+        assert (seg == 2).sum() > 0  # lid visible at 60 deg
+
+    def test_articulation_moves_lid(self):
+        from aonerf.data.camera import look_at_c2w
+
+        c2w = look_at_c2w(np.array([0, -3.5, 2.0]), np.zeros(3), np.array([0.0, 0, 1.0]))
+        _, a0, _ = render_scene(laptop_scene(0.0), c2w, 48, 64, 40.0)
+        _, a90, _ = render_scene(laptop_scene(90.0), c2w, 48, 64, 40.0)
+        assert np.mean(a0 != a90) > 0.01  # silhouette changes with articulation
+
+    def test_layout_single(self, single_root):
+        assert os.path.isdir(os.path.join(single_root, "train", "rgb"))
+        meta = json.load(open(os.path.join(single_root, "train", "transforms.json")))
+        assert "focal" in meta and len(meta["frames"]) == 3
+        c2w = np.asarray(meta["frames"]["r_0"])
+        assert c2w.shape == (4, 4)
+
+    def test_layout_multi(self, multi_root):
+        base = os.path.join(multi_root, "10000", "train", "45_degree")
+        assert os.path.isdir(os.path.join(base, "rgb"))
+        assert os.path.isdir(os.path.join(base, "seg"))
+        meta = json.load(open(os.path.join(base, "transforms.json")))
+        assert "camera_angle_x" in meta
+
+
+class TestSapienDataset:
+    def test_registry(self):
+        assert dataset_dict["sapien"] is SapienDataset
+        assert dataset_dict["sapien_multi"] is SapienMultiDataset
+
+    def test_train_buffers(self, single_root):
+        ds = SapienDataset(single_root, split="train", img_wh=(64, 48), white_back=True)
+        assert ds.num_rays == 3 * 64 * 48
+        buf = ds.train_buffers()
+        for k in ("rays_o", "rays_d", "viewdirs", "target"):
+            assert buf[k].shape[0] == ds.num_rays
+        np.testing.assert_allclose(
+            np.linalg.norm(buf["rays_d"], axis=-1), 1.0, atol=1e-5
+        )
+        # white-blended targets: background pixels are exactly white
+        assert (buf["target"].max() <= 1.0) and (buf["target"].min() >= 0.0)
+        assert np.mean(np.all(buf["target"] > 0.999, axis=-1)) > 0.1
+
+    def test_val_image(self, single_root):
+        ds = SapienDataset(single_root, split="val", img_wh=(64, 48), white_back=True)
+        sample = ds.get_image(0)
+        assert sample.rays_o.shape == (64 * 48, 3)
+        assert sample.target.shape == (64 * 48, 3)
+        assert sample.instance_mask.dtype == bool
+        assert 0 < sample.instance_mask.mean() < 1
+
+
+class TestSapienMultiDataset:
+    def test_train_sampling(self, multi_root):
+        ds = SapienMultiDataset(
+            multi_root, split="train", img_wh=(48, 36), white_back=True,
+            ray_batch_size=256,
+        )
+        assert ds.n_instances == 2
+        assert ds.n_articulations(0) == 3
+        rng = np.random.default_rng(0)
+        batch = ds.sample_train(rng)
+        assert batch["rays_o"].shape == (256, 3)
+        assert batch["target"].shape == (256, 3)
+        assert batch["src_imgs"].shape == (3, 36, 48)
+        assert batch["instance_id"] < 2 and batch["articulation_id"] < 3
+        # deg consistent with articulation id
+        deg = np.rad2deg(float(batch["deg"]))
+        assert min(abs(deg - x) for x in (0.0, 45.0, 90.0)) < 1e-4
+        # src image normalized to [-1, 1]
+        assert batch["src_imgs"].min() >= -1.0 and batch["src_imgs"].max() <= 1.0
+
+    def test_full_image_and_test_pose(self, multi_root):
+        ds = SapienMultiDataset(
+            multi_root, split="test", img_wh=(48, 36), white_back=True,
+            eval_inference="x",
+        )
+        img = ds.get_image(0, 1, 0)
+        assert img["rays_o"].shape == (48 * 36, 3)
+        test = ds.get_test_image(0, 5)
+        assert test["articulation_id"] == 5
+        assert test["rays_o"].shape == (48 * 36, 3)
+        assert ds.poses_test.shape == (40, 4, 4)

@@ -1,0 +1,111 @@
+"""Tests for metrics, chunked rendering, and IO writers."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aonerf.eval import (
+    lpips_image,
+    make_chunk_renderer,
+    masked_psnr,
+    psnr_image,
+    render_rays_chunked,
+    ssim_image,
+    store_depth_img,
+    store_image,
+    summarize_metric,
+    write_stats,
+)
+from aonerf.models import NeRF
+
+
+class TestPSNR:
+    def test_known_value(self):
+        x = jnp.zeros((4, 4, 3))
+        y = jnp.full((4, 4, 3), 0.1)
+        np.testing.assert_allclose(float(psnr_image(x, y)), 20.0, rtol=1e-5)
+
+    def test_masked(self):
+        pred = jnp.zeros((4, 3))
+        target = jnp.asarray([[0.1] * 3, [0.1] * 3, [9.0] * 3, [9.0] * 3])
+        mask = jnp.asarray([True, True, False, False])
+        np.testing.assert_allclose(float(masked_psnr(pred, target, mask)), 20.0, rtol=1e-4)
+
+
+class TestSSIM:
+    def test_identical_images(self):
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+        assert float(ssim_image(img, img)) > 0.9999
+
+    def test_noise_lowers_ssim(self):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+        noisy = np.clip(img + 0.3 * rng.standard_normal(img.shape), 0, 1).astype(np.float32)
+        s = float(ssim_image(jnp.asarray(img), jnp.asarray(noisy)))
+        assert 0.0 < s < 0.9
+
+    def test_constant_shift(self):
+        img = np.full((24, 24, 3), 0.5, np.float32)
+        shifted = img + 0.1
+        s = float(ssim_image(jnp.asarray(img), jnp.asarray(shifted)))
+        assert 0.5 < s < 1.0  # luminance term penalizes, structure identical
+
+
+class TestLPIPSGate:
+    def test_returns_nan_without_weights(self):
+        img = jnp.zeros((8, 8, 3))
+        assert np.isnan(lpips_image(img, img, weights_path=None))
+
+
+class TestSummarize:
+    def test_no_splits_goes_to_test(self):
+        out = summarize_metric([1.0, 2.0, 3.0])
+        assert out == {"test": 2.0}
+
+    def test_splits(self):
+        out = summarize_metric([1.0, 2.0, 3.0, 4.0], i_train=[0, 1], i_test=[2, 3])
+        assert out["train"] == 1.5 and out["test"] == 3.5 and out["all"] == 2.5
+
+
+class TestChunkedRender:
+    def test_matches_direct_and_pads(self):
+        model = NeRF(num_coarse_samples=4, num_fine_samples=4)
+        rng = np.random.default_rng(0)
+        n = 50  # not a multiple of the chunk
+        d = rng.standard_normal((n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = {
+            "rays_o": jnp.asarray(-4.0 * d),
+            "rays_d": jnp.asarray(d),
+            "viewdirs": jnp.asarray(d),
+        }
+        params = model.init(jax.random.PRNGKey(0), rays, False, True, 2.0, 6.0)
+        direct = model.apply(params, rays, False, True, 2.0, 6.0)[-1]
+        renderer = make_chunk_renderer(model, True, 2.0, 6.0)
+        rgb, acc, depth = render_rays_chunked(renderer, params, rays, chunk=16)
+        assert rgb.shape == (n, 3)
+        # chunking changes XLA fusion order; last-ulp drift in coarse weights
+        # shifts the (piecewise-constant) fine PDF samples slightly
+        np.testing.assert_allclose(rgb, np.asarray(direct[0]), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(acc, np.asarray(direct[1]), rtol=1e-4, atol=1e-4)
+
+
+class TestIO:
+    def test_store_image_and_stats(self, tmp_path):
+        imgs = [np.random.default_rng(0).uniform(size=(8, 8, 3))]
+        store_image(str(tmp_path / "imgs"), imgs)
+        assert os.path.exists(tmp_path / "imgs" / "image000.jpg")
+
+        store_depth_img(str(tmp_path / "depth"), [np.ones((8, 8))])
+        assert os.path.exists(tmp_path / "depth" / "depth000.png")
+
+        write_stats(
+            str(tmp_path / "results.json"),
+            psnr={"test": 30.0}, ssim={"test": 0.95},
+        )
+        stats = json.load(open(tmp_path / "results.json"))
+        assert stats["psnr"]["test"] == 30.0
