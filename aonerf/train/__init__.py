@@ -13,5 +13,7 @@ from aonerf.train.step import (  # noqa: F401
     make_adam,
     make_vanilla_train_step,
     make_autodecoder_train_step,
+    make_autodecoder_device_train_step,
     sample_ray_batch,
+    sample_multi_batch,
 )

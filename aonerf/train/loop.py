@@ -29,7 +29,7 @@ from aonerf.parallel import make_mesh, replicated_sharding, shard_batch, shard_p
 from aonerf.train.step import (
     create_train_state,
     make_adam,
-    make_autodecoder_train_step,
+    make_autodecoder_device_train_step,
     make_vanilla_train_step,
 )
 from aonerf.utils.ckpt import CheckpointManager
@@ -65,6 +65,18 @@ class Trainer:
         )
 
         self.tx = make_adam(
+            lr_init=cfg.lr_init,
+            lr_final=cfg.lr_final,
+            max_steps=cfg.run_max_steps,
+            lr_delay_steps=cfg.lr_delay_steps,
+            lr_delay_mult=cfg.lr_delay_mult,
+        )
+        from functools import partial
+
+        from aonerf.train.lr import log_lerp_lr
+
+        self.lr_fn = partial(
+            log_lerp_lr,
             lr_init=cfg.lr_init,
             lr_final=cfg.lr_final,
             max_steps=cfg.run_max_steps,
@@ -124,6 +136,7 @@ class Trainer:
             self.step_fn = make_vanilla_train_step(
                 self.model, self.tx, cfg.white_back, self.near, self.far,
                 batch_size=cfg.batch_size, randomized=cfg.randomized,
+                lr_fn=self.lr_fn,
             )
         elif cfg.exp_type == "vanilla_ae_art":
             from aonerf.train.step_ae import make_ae_train_step
@@ -136,7 +149,7 @@ class Trainer:
             )
             self.step_fn = make_ae_train_step(
                 self.model, self.tx, cfg.white_back, self.near, self.far,
-                randomized=cfg.randomized,
+                randomized=cfg.randomized, lr_fn=self.lr_fn,
             )
         else:
             lib_params = self.code_library.init(key, jnp.asarray(0), jnp.asarray(0))
@@ -146,9 +159,10 @@ class Trainer:
                 key, dummy, False, cfg.white_back, self.near, self.far, latents
             )
             params = {"model": model_params, "codes": lib_params}
-            self.step_fn = make_autodecoder_train_step(
+            self.step_fn = make_autodecoder_device_train_step(
                 self.model, self.code_library, self.tx, cfg.white_back,
-                self.near, self.far, randomized=cfg.randomized,
+                self.near, self.far, batch_size=cfg.batch_size,
+                randomized=cfg.randomized, lr_fn=self.lr_fn,
             )
         if self.mesh is not None:
             params = shard_params(self.mesh, params, tp=cfg.n_model_shards > 1)
@@ -191,16 +205,26 @@ class Trainer:
         total = max_steps or (cfg.num_epochs * cfg.steps_per_epoch)
         start = int(jax.device_get(self.state.step))
 
+        buffers = None
         if cfg.exp_type == "vanilla":
             buffers = {k: jnp.asarray(v) for k, v in self.dataset.train_buffers().items()}
             if self.mesh is not None:
                 buffers = shard_batch(self.mesh, buffers)
+        elif cfg.exp_type == "vanilla_autodecoder":
+            # whole multi-config dataset resident in HBM; per-step sampling
+            # happens inside the jitted step (replicated across the mesh —
+            # the scene images are small relative to HBM)
+            buffers = {k: jnp.asarray(v) for k, v in self.dataset.device_buffers().items()}
+            if self.mesh is not None:
+                from aonerf.parallel import replicated_sharding
+
+                buffers = jax.device_put(buffers, replicated_sharding(self.mesh))
 
         last = {}
         for step in range(start, total):
-            if cfg.exp_type == "vanilla":
+            if buffers is not None:
                 self.state, metrics = self.step_fn(self.state, buffers, self.base_key)
-            else:
+            else:  # AE: host-sampled batch (needs the normalized src image)
                 batch = self.dataset.sample_train(self.rng)
                 batch = self._device_batch(batch)
                 self.state, metrics = self.step_fn(self.state, batch, self.base_key)

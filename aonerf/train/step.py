@@ -73,6 +73,7 @@ def make_vanilla_train_step(
     batch_size: int = 2048,
     randomized: bool = True,
     donate: bool = True,
+    lr_fn: Callable = log_lerp_lr,
 ) -> Callable:
     """Train step for the vanilla NeRF (reference LitNeRF.training_step,
     model.py:256-282: loss = MSE(coarse) + MSE(fine)).
@@ -103,7 +104,7 @@ def make_vanilla_train_step(
             "loss": loss,
             "psnr0": mse2psnr(loss0),
             "psnr1": mse2psnr(loss1),
-            "lr": log_lerp_lr(state.step),
+            "lr": lr_fn(state.step),
         }
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
         return new_state, metrics
@@ -111,25 +112,106 @@ def make_vanilla_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_autodecoder_train_step(
+def make_vanilla_train_multi_step(
     model,
-    code_library,
     tx: optax.GradientTransformation,
     white_bkgd: bool,
     near: float,
     far: float,
+    batch_size: int = 2048,
+    inner_steps: int = 10,
     randomized: bool = True,
-    reg_weight: float = 1e-4,
     donate: bool = True,
+    lr_fn: Callable = log_lerp_lr,
 ) -> Callable:
-    """Train step for the articulated auto-decoder (reference
-    LitNeRF_AutoDecoder.training_step, model_autodecoder.py:395-477:
-    loss = MSE0 + MSE1 + 1e-4 * code-norm regularization). ``params`` is
-    {'model': ..., 'codes': ...} and both are optimized jointly by one Adam,
-    as in configure_optimizers (model_autodecoder.py:604-606).
-
-    Takes a fixed-shape host-sampled batch (see SapienMultiDataset).
+    """``inner_steps`` optimizer steps fused into ONE compiled program via
+    lax.scan. One dispatch + one host fetch per K steps amortizes dispatch/
+    tunnel latency K-fold; per-step PRNG still derives from
+    fold_in(base_key, step), so results are identical to K single steps.
+    Returns step(state, buffers, base_key) -> (state, metrics_of_last_step).
     """
+
+    def loss_fn(params, batch, render_key):
+        out = model.apply(
+            params, batch, randomized, white_bkgd, near, far, key=render_key
+        )
+        loss0 = img2mse(out[0][0], batch["target"])
+        loss1 = img2mse(out[1][0], batch["target"])
+        return loss1 + loss0, (loss0, loss1)
+
+    def one_step(carry, _):
+        state, buffers, base_key = carry
+        key = jax.random.fold_in(base_key, state.step)
+        sample_key, render_key = jax.random.split(key)
+        batch = sample_ray_batch(buffers, sample_key, batch_size)
+        (loss, (loss0, loss1)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, render_key
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        metrics = {
+            "loss": loss,
+            "psnr0": mse2psnr(loss0),
+            "psnr1": mse2psnr(loss1),
+            "lr": lr_fn(state.step),
+        }
+        return (new_state, buffers, base_key), metrics
+
+    def multi_step(state, buffers, base_key):
+        (state, _, _), metrics = jax.lax.scan(
+            one_step, (state, buffers, base_key), None, length=inner_steps
+        )
+        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+
+def sample_multi_batch(
+    buffers: Dict[str, jnp.ndarray], key: jax.Array, batch_size: int
+) -> Dict[str, jnp.ndarray]:
+    """On-device sampling of a multi-config batch: pick a random (instance,
+    articulation, view), gather ``batch_size`` random pixels, and build the
+    world-space rays from the stored c2w — all inside the jitted step.
+
+    Replaces the reference's host DataLoader item (datasets/sapien_multi.py:
+    362-399: disk IO + PIL decode + host ray math per step) with pure HBM
+    gathers. ``buffers`` comes from SapienMultiDataset.device_buffers().
+    Direction semantics match get_rays (ray_utils.py:118-159): rays_d and
+    viewdirs are both the unit-normalized rotated directions.
+    """
+    n_i, n_d, n_v, hw, _ = buffers["rgb"].shape
+    k_i, k_d, k_v, k_pix = jax.random.split(key, 4)
+    ii = jax.random.randint(k_i, (), 0, n_i)
+    di = jax.random.randint(k_d, (), 0, n_d)
+    vi = jax.random.randint(k_v, (), 0, n_v)
+    pix = jax.random.randint(k_pix, (batch_size,), 0, hw)
+
+    c2w = buffers["c2w"][ii, di, vi]  # (3, 4)
+    dirs = buffers["directions"][pix]  # (B, 3) camera frame
+    world_d = dirs @ c2w[:, :3].T
+    viewdirs = world_d / jnp.linalg.norm(world_d, axis=-1, keepdims=True)
+    rays_o = jnp.broadcast_to(c2w[:, 3], viewdirs.shape)
+
+    rgb = buffers["rgb"][ii, di, vi][pix].astype(jnp.float32) / 255.0
+    mask = buffers["mask"][ii, di, vi][pix]
+    return {
+        "rays_o": rays_o,
+        "rays_d": viewdirs,
+        "viewdirs": viewdirs,
+        "target": rgb,
+        "instance_mask": mask,
+        "deg": buffers["deg"][di],
+        "instance_id": ii,
+        "articulation_id": di,
+    }
+
+
+def _autodecoder_loss_fn(
+    model, code_library, white_bkgd, near, far, randomized, reg_weight
+) -> Callable:
+    """Shared auto-decoder loss (reference LitNeRF_AutoDecoder.training_step,
+    model_autodecoder.py:395-477: MSE0 + MSE1 + 1e-4 code-norm reg)."""
 
     def loss_fn(params, batch, render_key):
         latents = code_library.apply(
@@ -146,6 +228,31 @@ def make_autodecoder_train_step(
         loss = loss1 + loss0 + reg
         return loss, (loss0, loss1, reg)
 
+    return loss_fn
+
+
+def make_autodecoder_train_step(
+    model,
+    code_library,
+    tx: optax.GradientTransformation,
+    white_bkgd: bool,
+    near: float,
+    far: float,
+    randomized: bool = True,
+    reg_weight: float = 1e-4,
+    donate: bool = True,
+    lr_fn: Callable = log_lerp_lr,
+) -> Callable:
+    """Train step for the articulated auto-decoder; ``params`` is
+    {'model': ..., 'codes': ...} and both are optimized jointly by one Adam,
+    as in configure_optimizers (model_autodecoder.py:604-606).
+
+    Takes a fixed-shape host-sampled batch (see SapienMultiDataset).
+    """
+    loss_fn = _autodecoder_loss_fn(
+        model, code_library, white_bkgd, near, far, randomized, reg_weight
+    )
+
     def train_step(state: TrainState, batch, base_key) -> Tuple[TrainState, Dict]:
         render_key = jax.random.fold_in(base_key, state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -157,9 +264,50 @@ def make_autodecoder_train_step(
             "loss_reg": reg,
             "psnr0": mse2psnr(loss0),
             "psnr1": mse2psnr(loss1),
-            "lr": log_lerp_lr(state.step),
+            "lr": lr_fn(state.step),
         }
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
         return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_autodecoder_device_train_step(
+    model,
+    code_library,
+    tx: optax.GradientTransformation,
+    white_bkgd: bool,
+    near: float,
+    far: float,
+    batch_size: int = 4096,
+    randomized: bool = True,
+    reg_weight: float = 1e-4,
+    donate: bool = True,
+    lr_fn: Callable = log_lerp_lr,
+) -> Callable:
+    """Fully on-device auto-decoder step: multi-config batch sampling
+    (sample_multi_batch) + render + losses + Adam fused into ONE compiled
+    program. step(state, buffers, base_key) -> (state, metrics); ``buffers``
+    from SapienMultiDataset.device_buffers(), uploaded once."""
+    loss_fn = _autodecoder_loss_fn(
+        model, code_library, white_bkgd, near, far, randomized, reg_weight
+    )
+
+    def train_step(state: TrainState, buffers, base_key):
+        key = jax.random.fold_in(base_key, state.step)
+        sample_key, render_key = jax.random.split(key)
+        batch = sample_multi_batch(buffers, sample_key, batch_size)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (loss0, loss1, reg)), grads = grad_fn(state.params, batch, render_key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "loss_reg": reg,
+            "psnr0": mse2psnr(loss0),
+            "psnr1": mse2psnr(loss1),
+            "lr": lr_fn(state.step),
+        }
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -29,6 +29,7 @@ def make_ae_train_step(
     randomized: bool = True,
     opacity_lambda: float = 0.5,
     donate: bool = True,
+    lr_fn=log_lerp_lr,
 ) -> Callable:
     def loss_fn(params, batch, render_key):
         levels, latents, pred_state = model.apply(
@@ -64,7 +65,7 @@ def make_ae_train_step(
             "opacity_loss": lo,
             "psnr0": mse2psnr(l0),
             "psnr1": mse2psnr(l1),
-            "lr": log_lerp_lr(state.step),
+            "lr": lr_fn(state.step),
         }
         return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
 

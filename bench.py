@@ -25,9 +25,13 @@ def main() -> None:
     # bf16 underperforms f32 here (the step is gather/sort/HBM-bound around
     # MXU work that is already saturated at this width).
     p.add_argument("--batch-size", type=int, default=4096)
-    p.add_argument("--steps", type=int, default=30)
-    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--steps", type=int, default=6, help="outer (timed) calls")
+    p.add_argument("--inner-steps", type=int, default=10,
+                   help="optimizer steps fused into one program via lax.scan")
+    p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="f32")
+    p.add_argument("--fused", action="store_true",
+                   help="use the Pallas fused fwd+bwd ray-march kernels")
     p.add_argument("--no-update-baseline", action="store_true")
     args = p.parse_args()
 
@@ -35,7 +39,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from aonerf.models import NeRF
-    from aonerf.train import create_train_state, make_adam, make_vanilla_train_step
+    from aonerf.train import create_train_state, make_adam
+    from aonerf.train.step import make_vanilla_train_multi_step
 
     compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = NeRF(compute_dtype=compute_dtype)  # full 64+128 hierarchy
@@ -56,22 +61,41 @@ def main() -> None:
     params = model.init(jax.random.PRNGKey(0), dummy, False, True, 2.0, 6.0)
     tx = make_adam()
     state = create_train_state(params, tx)
-    step = make_vanilla_train_step(
-        model, tx, white_bkgd=True, near=2.0, far=6.0, batch_size=args.batch_size
-    )
+    # lax.scan fuses inner_steps optimizer steps into one program: one
+    # dispatch + one host fetch per call amortizes the dispatch/tunnel
+    # latency that otherwise dominates per-step timing on this runtime.
+    if args.fused:
+        from aonerf.ops.kernels.fused_train import make_fused_vanilla_train_multi_step
+
+        step = make_fused_vanilla_train_multi_step(
+            tx, white_bkgd=True, near=2.0, far=6.0, batch_size=args.batch_size,
+            inner_steps=args.inner_steps, dot_bf16=(args.dtype == "bf16"),
+            donate=False,
+        )
+    else:
+        step = make_vanilla_train_multi_step(
+            model, tx, white_bkgd=True, near=2.0, far=6.0, batch_size=args.batch_size,
+            inner_steps=args.inner_steps, donate=False,
+        )
     key = jax.random.PRNGKey(0)
 
+    # Hard-sync every step by fetching the loss scalar to the host: on the
+    # axon runtime, block_until_ready (even on every state leaf) can return
+    # before remote execution completes, inflating throughput ~100x. A
+    # device->host read of a computed value cannot lie. The measured time
+    # therefore includes per-step host latency — it is a conservative,
+    # honest lower bound on pipelined throughput.
     for _ in range(args.warmup):
         state, metrics = step(state, buffers, key)
-    jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step(state, buffers, key)
-    jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    rays_per_sec = args.batch_size * args.steps / dt
+    rays_per_sec = args.batch_size * args.inner_steps * args.steps / dt
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
     baseline = None

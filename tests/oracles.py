@@ -100,3 +100,64 @@ def ray_aabb_np(o, d, half):
             tmin = max(tmin, lo)
             tmax = min(tmax, hi)
     return valid, tmin, tmax
+
+
+# ---------------------------------------------------------------------------
+# Full-forward oracle: deterministic two-level hierarchical NeRF in fp64.
+# Independent re-derivation (per-ray loops, literal formulas) used by the
+# parity tests to check pixels and finite-difference gradients.
+
+
+def nerf_mlp_np(p, xenc, venc):
+    """p: flax param dict (numpy); xenc (R, S, 63); venc (R, 27).
+
+    Returns (raw_rgb (R,S,3), raw_sigma (R,S,1)). Mirrors the reference MLP
+    semantics (trunk with skip concat after layer 4, bottleneck + view branch).
+    """
+    r, s, f = xenc.shape
+    x = xenc.reshape(-1, f)
+    inputs = x
+    for i in range(8):
+        w, b = p[f"pts_{i}"]["kernel"], p[f"pts_{i}"]["bias"]
+        x = np.maximum(x @ w + b, 0.0)
+        if i == 4:
+            x = np.concatenate([x, inputs], axis=-1)
+    sigma = (x @ p["density"]["kernel"] + p["density"]["bias"]).reshape(r, s, 1)
+    bott = x @ p["bottleneck"]["kernel"] + p["bottleneck"]["bias"]
+    cond = np.repeat(venc[:, None, :], s, axis=1).reshape(r * s, -1)
+    v = np.concatenate([bott, cond], axis=-1)
+    w, b = p["views_0"]["kernel"], p["views_0"]["bias"]
+    v = np.maximum(v @ w + b, 0.0)
+    rgb = (v @ p["rgb"]["kernel"] + p["rgb"]["bias"]).reshape(r, s, 3)
+    return rgb, sigma
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def nerf_forward_np(params, rays_o, rays_d, viewdirs, n_coarse, n_fine, near, far, white_bkgd):
+    """Deterministic full hierarchy. params: {'coarse_mlp': ..., 'fine_mlp': ...}.
+
+    Returns [(comp_rgb, acc, weights, depth)] per level, all fp64.
+    """
+    r = rays_o.shape[0]
+    venc = pos_enc_np(viewdirs, 0, 4)
+    t = np.broadcast_to(stratified_tvals_np(n_coarse, near, far), (r, n_coarse + 1)).copy()
+    out = []
+    for level, name in enumerate(("coarse_mlp", "fine_mlp")):
+        if level == 1:
+            mids = 0.5 * (t[:, 1:] + t[:, :-1])
+            u = np.broadcast_to(
+                np.linspace(0.0, 1.0 - 2.0**-32, n_fine), (r, n_fine)
+            )
+            new_t = inverse_cdf_np(mids, weights[:, 1:-1], u)
+            t = np.sort(np.concatenate([t, new_t], axis=-1), axis=-1)
+        pts = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
+        xenc = pos_enc_np(pts, 0, 10)
+        raw_rgb, raw_sigma = nerf_mlp_np(params[name], xenc, venc)
+        rgb = _sigmoid(raw_rgb)
+        sigma = np.maximum(raw_sigma, 0.0)
+        comp, acc, weights, depth = volumetric_rendering_np(rgb, sigma, t, rays_d, white_bkgd)
+        out.append((comp, acc, weights, depth))
+    return out

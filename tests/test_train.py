@@ -152,3 +152,37 @@ class TestAutodecoderStep:
         # only the looked-up articulation row gets a gradient
         assert not np.allclose(table_before[1], table_after[1])
         np.testing.assert_allclose(table_before[0], table_after[0], atol=1e-7)
+
+
+class TestMultiStep:
+    def test_scan_fused_steps_match_single(self):
+        """K scan-fused steps must equal K single steps exactly (same PRNG
+        derivation from fold_in(base_key, step))."""
+        from aonerf.train.step import make_vanilla_train_multi_step
+
+        model = NeRF(num_coarse_samples=4, num_fine_samples=4)
+        buf = _toy_buffers(128)
+        dummy = {k: v[:4] for k, v in buf.items()}
+        params = model.init(jax.random.PRNGKey(0), dummy, False, True, 2.0, 6.0)
+        tx = make_adam(lr_init=1e-3, lr_delay_steps=0)
+        key = jax.random.PRNGKey(5)
+
+        single = make_vanilla_train_step(
+            model, tx, True, 2.0, 6.0, batch_size=32, donate=False
+        )
+        s1 = create_train_state(params, tx)
+        for _ in range(4):
+            s1, m1 = single(s1, buf, key)
+
+        multi = make_vanilla_train_multi_step(
+            model, tx, True, 2.0, 6.0, batch_size=32, inner_steps=4, donate=False
+        )
+        s4 = create_train_state(params, tx)
+        s4, m4 = multi(s4, buf, key)
+
+        assert int(s4.step) == 4
+        np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]), rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s4.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
