@@ -115,3 +115,54 @@ def create_spheric_poses(radius: float = 4.0, n_poses: int = 40, phi_deg: float 
         c2w = rot_theta(theta / 180.0 * np.pi) @ c2w
         poses.append(flip @ c2w)
     return np.stack(poses, axis=0).astype(np.float32)
+
+
+def get_rays_background(
+    directions: jnp.ndarray, c2w: jnp.ndarray, coords: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rays for a subset of pixel coordinates (ray_utils.py:93-116):
+    coords (N, 2) as (row, col). Directions are unit-normalized here (the
+    reference normalizes this variant)."""
+    rays_d = directions @ c2w[:, :3].T
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = jnp.broadcast_to(c2w[:, 3], rays_d.shape)
+    rays_o = rays_o[coords[:, 0], coords[:, 1]]
+    rays_d = rays_d[coords[:, 0], coords[:, 1]]
+    return rays_o, rays_d
+
+
+def transform_rays_camera(
+    rays_o: jnp.ndarray, rays_d: jnp.ndarray, c2w: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Re-pose camera-frame rays by c2w (ray_utils.py:162-185): rotate
+    directions (normalized) and translate origins."""
+    rays_d = rays_d @ c2w[:, :3].T
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = jnp.broadcast_to(c2w[:, 3], rays_d.shape) + rays_o
+    return rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
+
+
+def world_to_ndc(
+    points: jnp.ndarray, w: int, h: int, focal: float, near: float
+) -> jnp.ndarray:
+    """Project world points into the NDC cube (ray_utils.py:230-248)."""
+    ox_oz = points[..., 0] / points[..., 2]
+    oy_oz = points[..., 1] / points[..., 2]
+    o0 = -1.0 / (w / (2.0 * focal)) * ox_oz
+    o1 = -1.0 / (h / (2.0 * focal)) * oy_oz
+    o2 = 1.0 + 2.0 * near / points[..., 2]
+    return jnp.stack([o0, o1, o2], axis=-1)
+
+
+def get_rays_mvs(
+    h: int, w: int, focal: float, c2w: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """MVS-convention rays (+z forward, +y down; ray_utils.py:315-325)."""
+    ys, xs = jnp.meshgrid(
+        jnp.linspace(0, h - 1, h), jnp.linspace(0, w - 1, w), indexing="ij"
+    )
+    ys, xs = ys.reshape(-1), xs.reshape(-1)
+    dirs = jnp.stack([(xs - w / 2) / focal, (ys - h / 2) / focal, jnp.ones_like(xs)], -1)
+    rays_d = dirs @ c2w[:3, :3].T
+    rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+    return rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)

@@ -132,11 +132,14 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed)
         dummy = self._dummy_rays()
         if cfg.exp_type == "vanilla":
+            from aonerf.train.step import make_vanilla_train_multi_step
+
             params = self.model.init(key, dummy, False, cfg.white_back, self.near, self.far)
-            self.step_fn = make_vanilla_train_step(
+            self._inner_steps = max(1, cfg.inner_steps)
+            self.step_fn = make_vanilla_train_multi_step(
                 self.model, self.tx, cfg.white_back, self.near, self.far,
-                batch_size=cfg.batch_size, randomized=cfg.randomized,
-                lr_fn=self.lr_fn,
+                batch_size=cfg.batch_size, inner_steps=self._inner_steps,
+                randomized=cfg.randomized, lr_fn=self.lr_fn,
             )
         elif cfg.exp_type == "vanilla_ae_art":
             from aonerf.train.step_ae import make_ae_train_step
@@ -220,24 +223,31 @@ class Trainer:
 
                 buffers = jax.device_put(buffers, replicated_sharding(self.mesh))
 
+        stride = getattr(self, "_inner_steps", 1) if cfg.exp_type == "vanilla" else 1
         last = {}
-        for step in range(start, total):
+        step = start
+        while step < total:
             if buffers is not None:
                 self.state, metrics = self.step_fn(self.state, buffers, self.base_key)
             else:  # AE: host-sampled batch (needs the normalized src image)
                 batch = self.dataset.sample_train(self.rng)
                 batch = self._device_batch(batch)
                 self.state, metrics = self.step_fn(self.state, batch, self.base_key)
+            prev, step = step, step + stride
 
-            if (step + 1) % 100 == 0 or step == start:
+            # cadences fire when the fused stride crosses their boundary
+            def crossed(every):
+                return (step // every) > (prev // every)
+
+            if crossed(100) or prev == start:
                 last = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                self.logger.log(step + 1, last, prefix="train")
-            if (step + 1) % cfg.val_every_steps == 0:
+                self.logger.log(step, last, prefix="train")
+            if crossed(cfg.val_every_steps):
                 val = self.validate()
-                self.logger.log(step + 1, val, prefix="val")
+                self.logger.log(step, val, prefix="val")
                 last.update({f"val_{k}": v for k, v in val.items()})
-            if (step + 1) % cfg.ckpt_every_steps == 0 or step + 1 == total:
-                self.ckpt.save(step + 1, jax.device_get(self.state), last.get("val_psnr"))
+            if crossed(cfg.ckpt_every_steps) or step >= total:
+                self.ckpt.save(step, jax.device_get(self.state), last.get("val_psnr"))
         return last
 
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -283,6 +293,19 @@ class Trainer:
         latents = {k: jnp.atleast_2d(v) for k, v in latents.items()}
         return params, latents
 
+    def _save_val_grid(self, target, rgb, depth, acc) -> None:
+        """GT|pred|depth|opacity grid for the current val step (the
+        reference's wandb image grid, model.py:370-373)."""
+        from PIL import Image
+
+        from aonerf.eval.viz import visualize_val_rgb_opa_depth
+
+        grid = visualize_val_rgb_opa_depth(self.cfg.img_wh, target, rgb, depth, acc)
+        vis_dir = os.path.join(self.run_dir, "val_vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        step = int(jax.device_get(self.state.step))
+        Image.fromarray(grid).save(os.path.join(vis_dir, f"step{step:07d}.png"))
+
     def validate(self, n_images: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
         psnrs, obj_psnrs = [], []
@@ -295,10 +318,12 @@ class Trainer:
                     "rays_d": jnp.asarray(s.rays_d),
                     "viewdirs": jnp.asarray(s.viewdirs),
                 }
-                rgb, _, _ = render_rays_chunked(
+                rgb, acc, depth = render_rays_chunked(
                     self._renderer, self.state.params, rays, chunk=cfg.chunk
                 )
                 psnrs.append(float(psnr_image(jnp.asarray(rgb), jnp.asarray(s.target))))
+                if i == 0:
+                    self._save_val_grid(s.target, rgb, depth, acc)
         else:
             n = n_images or 1
             for _ in range(n):

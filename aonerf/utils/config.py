@@ -59,6 +59,9 @@ class Config:
     num_epochs: int = 100
     steps_per_epoch: int = 1000
     randomized: bool = True
+    # optimizer steps fused into one XLA program via lax.scan (vanilla path);
+    # amortizes dispatch latency without changing results (PRNG is per-step)
+    inner_steps: int = 10
 
     # checkpointing / eval cadence
     ckpt_keep: int = 5

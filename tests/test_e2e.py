@@ -45,6 +45,7 @@ def _tiny_cfg(root, out, **kw) -> Config:
         chunk=1024,
         lr_init=1e-3,
         lr_delay_steps=0,
+        inner_steps=1,  # exact step counts for cadence assertions
         run_max_steps=1000,
         val_every_steps=10_000,  # off during short fits
         ckpt_every_steps=10_000,

@@ -1,0 +1,89 @@
+"""Tests for the optimizer/scheduler factory vs reference semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from aonerf.train.optim import (
+    make_optimizer,
+    make_optimizer_with_latent,
+    make_schedule,
+    with_warmup,
+)
+
+
+class TestSchedules:
+    def test_steplr_milestones(self):
+        s = make_schedule("steplr", 1.0, decay_step=[2, 4], decay_gamma=0.1, steps_per_epoch=10)
+        np.testing.assert_allclose(float(s(0)), 1.0)
+        np.testing.assert_allclose(float(s(19)), 1.0)
+        np.testing.assert_allclose(float(s(20)), 0.1, rtol=1e-6)
+        np.testing.assert_allclose(float(s(40)), 0.01, rtol=1e-6)
+
+    def test_cosine_endpoints(self):
+        s = make_schedule("cosine", 1.0, num_epochs=10, steps_per_epoch=1)
+        np.testing.assert_allclose(float(s(0)), 1.0, rtol=1e-6)
+        assert float(s(10)) < 1e-6
+        np.testing.assert_allclose(float(s(5)), 0.5, atol=1e-6)
+
+    def test_poly(self):
+        s = make_schedule("poly", 2.0, num_epochs=10, poly_exp=2.0, steps_per_epoch=1)
+        np.testing.assert_allclose(float(s(0)), 2.0)
+        np.testing.assert_allclose(float(s(5)), 2.0 * 0.25, rtol=1e-6)
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            make_schedule("bogus", 1.0)
+
+    def test_warmup_ramp_and_handoff(self):
+        base = make_schedule("poly", 1.0, num_epochs=10, poly_exp=1.0, steps_per_epoch=1)
+        s = with_warmup(base, 1.0, warmup_multiplier=2.0, warmup_epochs=4, steps_per_epoch=1)
+        # ramp: lr * ((m-1)*e/total + 1)
+        np.testing.assert_allclose(float(s(0)), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(float(s(2)), 1.5, rtol=1e-6)
+        np.testing.assert_allclose(float(s(4)), 2.0, rtol=1e-6)
+        # after: base(step - total) * multiplier
+        np.testing.assert_allclose(float(s(6)), (1.0 - 0.2) * 2.0, rtol=1e-6)
+
+
+class TestOptimizers:
+    def _params(self):
+        return {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+
+    @pytest.mark.parametrize("name", ["sgd", "adam", "radam", "ranger"])
+    def test_single_update_runs(self, name):
+        tx = make_optimizer(name, learning_rate=1e-2, weight_decay=1e-4)
+        params = self._params()
+        if name == "ranger":
+            # lookahead wraps params in fast/slow copies; grads are w.r.t. fast
+            params = optax.LookaheadParams.init_synced(params)
+            grads = jax.tree_util.tree_map(jnp.ones_like, params.fast)
+        else:
+            grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        state = tx.init(params)
+        updates, state = tx.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        leaves = jax.tree_util.tree_leaves(new)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert not np.allclose(
+            np.asarray(jax.tree_util.tree_leaves(params)[0]),
+            np.asarray(leaves[0]),
+        )
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            make_optimizer("bogus")
+
+    def test_latent_split_lrs(self):
+        """The codes subtree must move at latent_lr, the model at its own."""
+        model_tx = make_optimizer("sgd", learning_rate=1e-3, momentum=0.0)
+        tx = make_optimizer_with_latent(model_tx, latent_lr=1e-1)
+        params = {"model": {"w": jnp.ones((2,))}, "codes": {"e": jnp.ones((2,))}}
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, state = tx.update(grads, state, params)
+        # sgd: delta = -lr * g; adamw first step: ~ -lr * sign-ish
+        assert abs(float(updates["model"]["w"][0])) < 5e-3
+        assert abs(float(updates["codes"]["e"][0])) > 5e-2
