@@ -20,6 +20,7 @@ datasets/sapien_multi.py:144); convs run in NHWC internally for TPU layout.
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,6 +95,13 @@ class MultiHeadImgEncoder(nn.Module):
     global_size: int = 0
     norm_type: str = "instance"
     agg_fct: str = "mean"
+    # pixel-aligned feature-pyramid heads (reference 'spatials',
+    # resnet_encoder.py:121-183): heads named here return a (B, C, h/2, w/2)
+    # feature MAP (1x1 conv over the multiscale pyramid) instead of a vector.
+    # NOTE: the reference's own spatials path is dimensionally inconsistent
+    # (concats 3 extra input channels past its declared 1024); this is the
+    # working version using the five 64/64/128/256/512 feature levels.
+    spatials: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -102,7 +110,9 @@ class MultiHeadImgEncoder(nn.Module):
             b, v = x.shape[:2]
             out = self(x.reshape(b * v, *x.shape[2:]))
             agg = jnp.mean if self.agg_fct == "mean" else jnp.max
-            return {k: agg(o.reshape(b, v, -1), axis=1) for k, o in out.items()}
+            return {
+                k: agg(o.reshape(b, v, *o.shape[1:]), axis=1) for k, o in out.items()
+            }
 
         x = jnp.moveaxis(x, 1, -1)  # NCHW -> NHWC for TPU conv layout
         blocks = _STAGE_BLOCKS[self.backbone]
@@ -111,13 +121,18 @@ class MultiHeadImgEncoder(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False, name="conv1")(x)
         x = _Norm(self.norm_type)(x)
         x = nn.relu(x)
+        stem = x  # /2 resolution: the pyramid's reference scale
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         # shared stages
+        pyramid = [stem]
         x = _Stage(64, blocks[0], 1, self.norm_type, name="layer1")(x)
+        pyramid.append(x)
         if self.shared_layers >= 2:
             x = _Stage(128, blocks[1], 2, self.norm_type, name="layer2")(x)
+            pyramid.append(x)
         if self.shared_layers >= 3:
             x = _Stage(256, blocks[2], 2, self.norm_type, name="layer3")(x)
+            pyramid.append(x)
 
         def head(name: str, out_size: int) -> jnp.ndarray:
             h = x
@@ -126,6 +141,15 @@ class MultiHeadImgEncoder(nn.Module):
                     _STAGE_WIDTHS[stage_idx], blocks[stage_idx], 2,
                     self.norm_type, name=f"{name}_layer{stage_idx + 1}",
                 )(h)
+            if name in self.spatials:
+                target = stem.shape[1:3]
+                levels = [
+                    jax.image.resize(p, (p.shape[0], *target, p.shape[-1]), "bilinear")
+                    for p in pyramid + [h]
+                ]
+                feat = jnp.concatenate(levels, axis=-1)
+                feat = nn.Conv(out_size, (1, 1), name=f"{name}_pix")(feat)
+                return jnp.moveaxis(feat, -1, 1)  # (B, C, h/2, w/2)
             h = jnp.mean(h, axis=(1, 2))  # global average pool
             return nn.Dense(out_size, name=f"{name}_fc")(h)
 

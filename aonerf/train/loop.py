@@ -46,6 +46,8 @@ class Trainer:
         self.cfg = cfg
         self.run_dir = os.path.join(cfg.output_path, cfg.exp_name)
         os.makedirs(self.run_dir, exist_ok=True)
+        if cfg.debug_nans:  # the reference's detect_anomaly (run.py:104)
+            jax.config.update("jax_debug_nans", True)
         self.logger = MetricLogger(self.run_dir)
         self.ckpt = CheckpointManager(os.path.join(self.run_dir, "ckpts"), keep=cfg.ckpt_keep)
         self.mesh = make_mesh(n_model=cfg.n_model_shards) if use_mesh else None
@@ -162,10 +164,12 @@ class Trainer:
                 key, dummy, False, cfg.white_back, self.near, self.far, latents
             )
             params = {"model": model_params, "codes": lib_params}
+            self._inner_steps = max(1, cfg.inner_steps)
             self.step_fn = make_autodecoder_device_train_step(
                 self.model, self.code_library, self.tx, cfg.white_back,
                 self.near, self.far, batch_size=cfg.batch_size,
                 randomized=cfg.randomized, lr_fn=self.lr_fn,
+                inner_steps=self._inner_steps,
             )
         if self.mesh is not None:
             params = shard_params(self.mesh, params, tp=cfg.n_model_shards > 1)
@@ -189,6 +193,13 @@ class Trainer:
             mgr = CheckpointManager(cfg.ckpt_path)
             self.state = mgr.restore(self.state)
             mgr.close()
+        elif cfg.weight_path:
+            # weights-only load (reference --weight_path, opt.py:123-124:
+            # params without optimizer state); optimizer restarts fresh
+            mgr = CheckpointManager(cfg.weight_path)
+            restored = mgr.restore(self.state)
+            mgr.close()
+            self.state = self.state.replace(params=restored.params)
         elif self.ckpt.latest_step() is not None:
             self.state = self.ckpt.restore(self.state)
 
@@ -223,7 +234,11 @@ class Trainer:
 
                 buffers = jax.device_put(buffers, replicated_sharding(self.mesh))
 
-        stride = getattr(self, "_inner_steps", 1) if cfg.exp_type == "vanilla" else 1
+        stride = getattr(self, "_inner_steps", 1) if cfg.exp_type != "vanilla_ae_art" else 1
+        profiling = False
+        if cfg.profile_steps > 0:  # the reference's profiler="simple" analogue
+            jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
+            profiling = True
         last = {}
         step = start
         while step < total:
@@ -248,6 +263,12 @@ class Trainer:
                 last.update({f"val_{k}": v for k, v in val.items()})
             if crossed(cfg.ckpt_every_steps) or step >= total:
                 self.ckpt.save(step, jax.device_get(self.state), last.get("val_psnr"))
+            if profiling and step - start >= cfg.profile_steps:
+                jax.block_until_ready(jax.tree_util.tree_leaves(self.state))
+                jax.profiler.stop_trace()
+                profiling = False
+        if profiling:
+            jax.profiler.stop_trace()
         return last
 
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:

@@ -284,16 +284,18 @@ def make_autodecoder_device_train_step(
     reg_weight: float = 1e-4,
     donate: bool = True,
     lr_fn: Callable = log_lerp_lr,
+    inner_steps: int = 1,
 ) -> Callable:
     """Fully on-device auto-decoder step: multi-config batch sampling
     (sample_multi_batch) + render + losses + Adam fused into ONE compiled
-    program. step(state, buffers, base_key) -> (state, metrics); ``buffers``
+    program; ``inner_steps`` > 1 scan-fuses that many optimizer steps per
+    dispatch. step(state, buffers, base_key) -> (state, metrics); ``buffers``
     from SapienMultiDataset.device_buffers(), uploaded once."""
     loss_fn = _autodecoder_loss_fn(
         model, code_library, white_bkgd, near, far, randomized, reg_weight
     )
 
-    def train_step(state: TrainState, buffers, base_key):
+    def one_step(state: TrainState, buffers, base_key):
         key = jax.random.fold_in(base_key, state.step)
         sample_key, render_key = jax.random.split(key)
         batch = sample_multi_batch(buffers, sample_key, batch_size)
@@ -310,4 +312,15 @@ def make_autodecoder_device_train_step(
         }
         return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    if inner_steps <= 1:
+        return jax.jit(one_step, donate_argnums=(0,) if donate else ())
+
+    def multi_step(state, buffers, base_key):
+        def body(carry, _):
+            new_state, metrics = one_step(carry, buffers, base_key)
+            return new_state, metrics
+
+        state, metrics = jax.lax.scan(body, state, None, length=inner_steps)
+        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())

@@ -74,6 +74,11 @@ class Config:
     # parallelism
     n_model_shards: int = 1
 
+    # diagnostics (reference analogues: Lightning profiler run.py:108,128 and
+    # detect_anomaly run.py:104)
+    profile_steps: int = 0  # >0: capture a jax.profiler trace of that many steps
+    debug_nans: bool = False  # jax_debug_nans tripwire
+
     extras: Dict[str, Any] = field(default_factory=dict)
 
 

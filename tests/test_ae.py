@@ -123,3 +123,20 @@ class TestAutoEncoderSystem:
         for k in ("loss", "loss_state", "opacity_loss", "psnr0", "psnr1"):
             assert np.isfinite(float(metrics[k])), k
         assert int(state.step) == 1
+
+
+class TestSpatialHeads:
+    def test_pixel_aligned_color_head(self):
+        enc = MultiHeadImgEncoder(spatials=("color",), art_size=0, density_size=0)
+        x = jnp.zeros((1, 3, 64, 64))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        out = enc.apply(params, x)
+        # pixel-aligned head: (B, C, H/2, W/2); vector heads unaffected
+        assert out["color"].shape == (1, 128, 32, 32)
+
+    def test_spatial_multiview_agg(self):
+        enc = MultiHeadImgEncoder(spatials=("density",), art_size=0, color_size=0)
+        x = jnp.zeros((1, 2, 3, 32, 32))
+        params = enc.init(jax.random.PRNGKey(0), x[:, 0])
+        out = enc.apply(params, x)
+        assert out["density"].shape == (1, 128, 16, 16)
