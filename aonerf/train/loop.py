@@ -46,6 +46,8 @@ class Trainer:
         self.cfg = cfg
         self.run_dir = os.path.join(cfg.output_path, cfg.exp_name)
         os.makedirs(self.run_dir, exist_ok=True)
+        if cfg.platform:  # e.g. "cpu" to debug without the TPU tunnel
+            jax.config.update("jax_platforms", cfg.platform)
         if cfg.debug_nans:  # the reference's detect_anomaly (run.py:104)
             jax.config.update("jax_debug_nans", True)
         self.logger = MetricLogger(self.run_dir)
@@ -239,14 +241,19 @@ class Trainer:
         if cfg.profile_steps > 0:  # the reference's profiler="simple" analogue
             jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
             profiling = True
+        prefetcher = None
+        if buffers is None:  # AE: overlap host batch assembly with device steps
+            from aonerf.data.prefetch import Prefetcher
+
+            prefetcher = Prefetcher(lambda: self.dataset.sample_train(self.rng))
+
         last = {}
         step = start
         while step < total:
             if buffers is not None:
                 self.state, metrics = self.step_fn(self.state, buffers, self.base_key)
             else:  # AE: host-sampled batch (needs the normalized src image)
-                batch = self.dataset.sample_train(self.rng)
-                batch = self._device_batch(batch)
+                batch = self._device_batch(prefetcher.get())
                 self.state, metrics = self.step_fn(self.state, batch, self.base_key)
             prev, step = step, step + stride
 
@@ -269,6 +276,8 @@ class Trainer:
                 profiling = False
         if profiling:
             jax.profiler.stop_trace()
+        if prefetcher is not None:
+            prefetcher.close()
         return last
 
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:

@@ -74,6 +74,11 @@ class Config:
     # parallelism
     n_model_shards: int = 1
 
+    # backend: None = whatever jax picks (TPU when available); "cpu" forces
+    # the host backend even when a sitecustomize force-registers a TPU
+    # plugin (config update beats the env var, which such plugins override)
+    platform: Optional[str] = None
+
     # diagnostics (reference analogues: Lightning profiler run.py:108,128 and
     # detect_anomaly run.py:104)
     profile_steps: int = 0  # >0: capture a jax.profiler trace of that many steps

@@ -143,3 +143,29 @@ class TestSapienMultiDataset:
         assert test["articulation_id"] == 5
         assert test["rays_o"].shape == (48 * 36, 3)
         assert ds.poses_test.shape == (40, 4, 4)
+
+
+class TestPrefetcher:
+    def test_produces_batches_and_propagates_errors(self):
+        from aonerf.data.prefetch import Prefetcher
+
+        counter = {"n": 0}
+
+        def make():
+            counter["n"] += 1
+            return {"i": counter["n"]}
+
+        pf = Prefetcher(make, depth=2)
+        got = [pf.get() for _ in range(5)]
+        assert all("i" in b for b in got)
+        pf.close()
+
+        def boom():
+            raise RuntimeError("bad batch")
+
+        pf2 = Prefetcher(boom)
+        import pytest
+
+        with pytest.raises(RuntimeError, match="bad batch"):
+            pf2.get(timeout=5)
+        pf2.close()
