@@ -92,21 +92,46 @@ class SapienDataset:
         return np.asarray(self.meta["frames"][img_file.split(".")[0]], dtype=np.float32)[:3, :4]
 
     def _build_train_buffers(self) -> None:
-        all_o, all_d, all_view, all_rgb = [], [], [], []
-        for img_file in self.img_files:
-            c2w = self._frame_c2w(img_file)
+        # Preallocated flat (N_total, .) buffers written in place (no
+        # per-image list + concatenate copies). Fast path: the native C++
+        # loader (aonerf/native) decodes PNGs + builds world rays on a
+        # thread pool; fallback: PIL + numpy on a thread pool (PIL releases
+        # the GIL in the decoder). viewdirs aliases rays_d, as in the
+        # reference (ray_utils.py:145-148 returns the same tensor).
+        from concurrent.futures import ThreadPoolExecutor
+
+        w, h = self.img_wh
+        n_img, n_pix = len(self.img_files), h * w
+        self.all_rays_o = np.empty((n_img * n_pix, 3), np.float32)
+        self.all_rays_d = np.empty((n_img * n_pix, 3), np.float32)
+        self.all_viewdirs = self.all_rays_d
+        self.all_rgbs = np.empty((n_img * n_pix, 3), np.float32)
+
+        from aonerf.native import load_scene_native
+
+        c2ws = np.stack([self._frame_c2w(f) for f in self.img_files])
+        if load_scene_native(
+            [os.path.join(self._base, "rgb", f) for f in self.img_files],
+            c2ws, self.directions, h, w, True,
+            self.all_rays_o, self.all_rays_d, self.all_rgbs,
+        ):
+            return
+
+        def load(i_file):
+            i, img_file = i_file
             rgba = _load_rgba(os.path.join(self._base, "rgb", img_file), self.img_wh)
-            rgb = rgba[..., :3] * rgba[..., 3:] + (1.0 - rgba[..., 3:])
-            rays_o, viewdirs, rays_d, _ = get_rays_np(self.directions, c2w)
-            all_o.append(rays_o)
-            all_d.append(rays_d)
-            all_view.append(viewdirs)
-            all_rgb.append(rgb.reshape(-1, 3))
-        # Flat (N_total, .) buffers, uploaded to device once by the trainer.
-        self.all_rays_o = np.concatenate(all_o, axis=0)
-        self.all_rays_d = np.concatenate(all_d, axis=0)
-        self.all_viewdirs = np.concatenate(all_view, axis=0)
-        self.all_rgbs = np.concatenate(all_rgb, axis=0).astype(np.float32)
+            c2w = self._frame_c2w(img_file)
+            sl = slice(i * n_pix, (i + 1) * n_pix)
+            rgb = self.all_rgbs[sl].reshape(h, w, 3)
+            np.multiply(rgba[..., :3], rgba[..., 3:], out=rgb)
+            rgb += 1.0
+            rgb -= rgba[..., 3:]
+            rays_o, viewdirs, _, _ = get_rays_np(self.directions, c2w)
+            self.all_rays_o[sl] = rays_o
+            self.all_rays_d[sl] = viewdirs
+
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 2)) as ex:
+            list(ex.map(load, enumerate(self.img_files)))
 
     @property
     def num_rays(self) -> int:

@@ -86,6 +86,27 @@ class SapienMultiDataset:
         order = np.argsort([int(n.split("_")[0]) for n in names])
         return [names[i] for i in order]
 
+    @staticmethod
+    def _decode_rgb(path: str, w: int, h: int) -> np.ndarray:
+        from aonerf.native import decode_png_u8_native
+
+        rgba = decode_png_u8_native(path, w, h)  # fast path (C++ decoder)
+        if rgba is not None:
+            return rgba[..., :3]
+        img = Image.open(path).convert("RGB")
+        return np.asarray(img.resize((w, h), Image.LANCZOS))
+
+    @staticmethod
+    def _decode_seg(path: str, w: int, h: int) -> np.ndarray:
+        from aonerf.native import decode_png_u8_native
+
+        rgba = decode_png_u8_native(path, w, h)
+        if rgba is not None:
+            return (rgba[..., :3] > 0).any(axis=-1)
+        seg = Image.open(path)
+        seg = np.asarray(seg.resize((w, h), Image.LANCZOS)) > 0
+        return seg.any(axis=-1) if seg.ndim == 3 else seg
+
     def _load_all(self) -> None:
         w, h = self.img_wh
         bg = 255 if self.white_back else 0
@@ -103,12 +124,8 @@ class SapienMultiDataset:
                 files = [files[i] for i in order]
                 views = []
                 for fname in files:
-                    img = Image.open(os.path.join(base, "rgb", fname)).convert("RGB")
-                    img = np.asarray(img.resize((w, h), Image.LANCZOS))
-                    seg = Image.open(os.path.join(base, "seg", fname))
-                    seg = np.asarray(seg.resize((w, h), Image.LANCZOS)) > 0
-                    if seg.ndim == 3:
-                        seg = seg.any(axis=-1)
+                    img = self._decode_rgb(os.path.join(base, "rgb", fname), w, h)
+                    seg = self._decode_seg(os.path.join(base, "seg", fname), w, h)
                     rgb = np.full((h, w, 3), bg, dtype=np.uint8)
                     rgb[seg] = img[seg]
                     c2w = np.asarray(

@@ -169,3 +169,57 @@ class TestPrefetcher:
         with pytest.raises(RuntimeError, match="bad batch"):
             pf2.get(timeout=5)
         pf2.close()
+
+
+class TestNativeLoader:
+    """The C++ loader must agree with the PIL/numpy path exactly (both
+    decode the same PNG bytes; ray math agrees to float rounding)."""
+
+    def test_decode_and_scene_parity(self, tmp_path):
+        import aonerf.native as native
+
+        if native.get_loader() is None:
+            pytest.skip("no native toolchain")
+        import numpy as np
+        from PIL import Image as PILImage
+
+        rng = np.random.default_rng(0)
+        rgba = rng.integers(0, 256, (12, 16, 4), dtype=np.uint8)
+        path = str(tmp_path / "img_0.png")
+        PILImage.fromarray(rgba, "RGBA").save(path)
+
+        out = native.decode_png_u8_native(path, 16, 12)
+        np.testing.assert_array_equal(out, rgba)
+        # dimension mismatch -> fallback signal
+        assert native.decode_png_u8_native(path, 8, 6) is None
+
+        # grayscale file
+        gray = rng.integers(0, 256, (12, 16), dtype=np.uint8)
+        gpath = str(tmp_path / "g.png")
+        PILImage.fromarray(gray, "L").save(gpath)
+        gout = native.decode_png_u8_native(gpath, 16, 12)
+        np.testing.assert_array_equal(gout[..., 0], gray)
+        np.testing.assert_array_equal(gout[..., 3], np.full_like(gray, 255))
+
+    def test_sapien_dataset_native_matches_python(self, single_root):
+        import os
+
+        import aonerf.native as native
+
+        if native.get_loader() is None:
+            pytest.skip("no native toolchain")
+        import numpy as np
+
+        from aonerf.data.sapien import SapienDataset
+
+        ds_nat = SapienDataset(single_root, "train", img_wh=(64, 48))
+        os.environ["AONERF_NO_NATIVE"] = "1"
+        native._lib_tried, native._lib = False, None
+        try:
+            ds_py = SapienDataset(single_root, "train", img_wh=(64, 48))
+        finally:
+            del os.environ["AONERF_NO_NATIVE"]
+            native._lib_tried, native._lib = False, None
+        np.testing.assert_array_equal(ds_nat.all_rays_o, ds_py.all_rays_o)
+        np.testing.assert_allclose(ds_nat.all_rays_d, ds_py.all_rays_d, atol=3e-7)
+        np.testing.assert_allclose(ds_nat.all_rgbs, ds_py.all_rgbs, atol=2e-7)
