@@ -74,6 +74,7 @@ class Trainer:
             max_steps=cfg.run_max_steps,
             lr_delay_steps=cfg.lr_delay_steps,
             lr_delay_mult=cfg.lr_delay_mult,
+            grad_clip=cfg.grad_clip or None,
         )
         from functools import partial
 

@@ -33,8 +33,15 @@ def make_adam(
     max_steps: int = 100_000,
     lr_delay_steps: int = 2500,
     lr_delay_mult: float = 0.01,
+    grad_clip: Optional[float] = None,
 ) -> optax.GradientTransformation:
-    """Adam(0.9, 0.999) with the reference's log-lerp + sin-delay schedule."""
+    """Adam(0.9, 0.999) with the reference's log-lerp + sin-delay schedule.
+
+    ``grad_clip`` (global-norm) is off by default (the reference has no
+    clipping); bf16 compute needs it — measured: the fine level learns then
+    diverges mid-run without it (loss spike it never recovers from), and
+    clip=1.0 keeps the trajectory on par with f32.
+    """
     schedule = partial(
         log_lerp_lr,
         lr_init=lr_init,
@@ -43,7 +50,10 @@ def make_adam(
         lr_delay_steps=lr_delay_steps,
         lr_delay_mult=lr_delay_mult,
     )
-    return optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+    adam = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+    if grad_clip:
+        return optax.chain(optax.clip_by_global_norm(grad_clip), adam)
+    return adam
 
 
 def create_train_state(params: Any, tx: optax.GradientTransformation) -> TrainState:

@@ -56,6 +56,9 @@ class Config:
     lr_delay_steps: int = 2500
     lr_delay_mult: float = 0.01
     run_max_steps: int = 100_000
+    # global-norm gradient clip; 0 = off (reference parity). bf16 compute
+    # diverges mid-run without it — use 1.0 with compute_dtype="bf16".
+    grad_clip: float = 0.0
     num_epochs: int = 100
     steps_per_epoch: int = 1000
     randomized: bool = True

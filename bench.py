@@ -20,25 +20,32 @@ import numpy as np
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    # f32 @ 4096 is the measured sweet spot on v5e: larger batches trip an
-    # XLA regalloc RET_CHECK (live_range_finder.cc) on this toolchain, and
-    # bf16 underperforms f32 here (the step is gather/sort/HBM-bound around
-    # MXU work that is already saturated at this width).
-    p.add_argument("--batch-size", type=int, default=4096)
-    p.add_argument("--steps", type=int, default=6, help="outer (timed) calls")
-    p.add_argument("--inner-steps", type=int, default=10,
+    # bf16 @ 256 rays/step is the measured sweet spot on v5e (116K rays/s vs
+    # 45K for f32 @ 4096): small batches keep the fwd+bwd activations VMEM-
+    # resident, and bf16 dots roughly double the MXU rate on top. Batches
+    # > 4096 (or bf16 @ 4096) trip an XLA regalloc RET_CHECK
+    # (live_range_finder.cc) on this toolchain. Quality at this config is
+    # verified equal-or-better per ray than f32 @ 4096 (RESULTS.md): with
+    # grad_clip=1.0, 12800 steps @ 256 reaches val 35.1 dB vs 30.3 dB for
+    # 800 steps @ 4096 on the same 3.28M-ray budget.
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--steps", type=int, default=12, help="outer (timed) calls")
+    p.add_argument("--inner-steps", type=int, default=160,
                    help="optimizer steps fused into one program via lax.scan")
     p.add_argument("--warmup", type=int, default=2)
-    p.add_argument("--dtype", choices=["bf16", "f32"], default="f32")
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--grad-clip", type=float, default=1.0,
+                   help="global-norm gradient clip (0 = off); required for "
+                        "stable bf16 training, so the benched step includes it")
     p.add_argument("--fused", action="store_true",
                    help="use the Pallas fused fwd+bwd ray-march kernels")
     p.add_argument("--no-update-baseline", action="store_true")
-    p.add_argument("--pipeline", action="store_true",
-                   help="dispatch all timed calls back-to-back (device-side "
-                        "chaining via the state dependency) and fetch every "
-                        "loss scalar afterwards; overlaps host dispatch with "
-                        "device compute while remaining honest (the clock "
-                        "stops only after all computed scalars reach host)")
+    p.add_argument("--no-pipeline", dest="pipeline", action="store_false",
+                   help="fetch the loss scalar after every dispatch instead "
+                        "of chaining dispatches; both modes are honest (the "
+                        "clock stops only after all computed scalars reach "
+                        "the host), pipelining just overlaps host dispatch "
+                        "with device compute")
     args = p.parse_args()
 
     import jax
@@ -65,7 +72,7 @@ def main() -> None:
 
     dummy = {k: v[:8] for k, v in buffers.items()}
     params = model.init(jax.random.PRNGKey(0), dummy, False, True, 2.0, 6.0)
-    tx = make_adam()
+    tx = make_adam(grad_clip=args.grad_clip or None)
     state = create_train_state(params, tx)
     # lax.scan fuses inner_steps optimizer steps into one program: one
     # dispatch + one host fetch per call amortizes the dispatch/tunnel

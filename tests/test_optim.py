@@ -87,3 +87,35 @@ class TestOptimizers:
         # sgd: delta = -lr * g; adamw first step: ~ -lr * sign-ish
         assert abs(float(updates["model"]["w"][0])) < 5e-3
         assert abs(float(updates["codes"]["e"][0])) > 5e-2
+
+
+class TestGradClip:
+    def test_make_adam_grad_clip_caps_update(self):
+        """grad_clip chains a global-norm clip ahead of Adam: a huge gradient
+        must produce the same update direction/magnitude as a rescaled one."""
+        from aonerf.train.step import make_adam
+
+        params = {"w": jnp.ones((4,))}
+        g_big = {"w": jnp.full((4,), 1e6)}
+        tx = make_adam(lr_init=1e-3, lr_delay_steps=0, grad_clip=1.0)
+        state = tx.init(params)
+        upd_big, _ = tx.update(g_big, state, params)
+        # the clipped gradient has global norm exactly 1.0
+        g_unit = jax.tree_util.tree_map(
+            lambda g: g / jnp.sqrt(jnp.sum(g**2)), g_big
+        )
+        tx2 = make_adam(lr_init=1e-3, lr_delay_steps=0)
+        upd_unit, _ = tx2.update(g_unit, tx2.init(params), params)
+        np.testing.assert_allclose(
+            np.asarray(upd_big["w"]), np.asarray(upd_unit["w"]), rtol=1e-5
+        )
+
+    def test_make_adam_no_clip_default(self):
+        from aonerf.train.step import make_adam
+
+        params = {"w": jnp.ones((2,))}
+        tx = make_adam(lr_init=1.0, lr_delay_steps=0)
+        g = {"w": jnp.full((2,), 100.0)}
+        upd, _ = tx.update(g, tx.init(params), params)
+        # unclipped Adam normalizes by |g| itself -> step size ~ lr
+        assert float(jnp.abs(upd["w"]).max()) > 0.9
