@@ -56,9 +56,13 @@ def ssim_image(
     def filt(img):
         # depthwise valid conv per channel
         img = jnp.moveaxis(img, -1, 0)[:, None]  # (C,1,H,W)
+        # HIGHEST precision: TPU convs default to bf16 multiply passes, which
+        # corrupts the variance terms (filt(x*x) - mu^2 catastrophically
+        # cancels) enough to push SSIM above 1 on near-perfect renders.
         out = jax.lax.conv_general_dilated(
             img, jnp.moveaxis(kern, (0, 1, 2, 3), (2, 3, 1, 0)),
             window_strides=(1, 1), padding="VALID",
+            precision=jax.lax.Precision.HIGHEST,
         )
         return jnp.moveaxis(out[:, 0], 0, -1)
 

@@ -41,6 +41,20 @@ class TestSSIM:
         img = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
         assert float(ssim_image(img, img)) > 0.9999
 
+    def test_ssim_never_exceeds_one_near_perfect(self):
+        """Regression: TPU convs default to bf16 passes, which corrupted the
+        variance terms enough to report SSIM > 1 on near-perfect renders;
+        the filter now pins Precision.HIGHEST."""
+        rng = np.random.default_rng(3)
+        gx, gy = np.meshgrid(
+            np.linspace(0, 1, 64, dtype=np.float32),
+            np.linspace(0, 1, 48, dtype=np.float32),
+        )
+        img = np.stack([gx, gy, np.full_like(gx, 0.5)], axis=-1)
+        pred = np.clip(img + rng.normal(scale=2e-3, size=img.shape).astype(np.float32), 0, 1)
+        s = float(ssim_image(jnp.asarray(pred), jnp.asarray(img)))
+        assert 0.9 < s <= 1.0
+
     def test_noise_lowers_ssim(self):
         rng = np.random.default_rng(0)
         img = rng.uniform(size=(32, 32, 3)).astype(np.float32)
