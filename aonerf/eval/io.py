@@ -43,15 +43,30 @@ def store_depth_img(dirpath: str, depths: Sequence[np.ndarray], name: str = "dep
 def store_video(dirpath: str, rgbs: Sequence[np.ndarray], name: str = "video") -> str:
     """mp4 export of a rendered sequence (20 fps, as the reference)."""
     try:
-        import imageio  # noqa: F401
-    except ImportError as e:
+        import imageio
+
+        os.makedirs(dirpath, exist_ok=True)
+        path = os.path.join(dirpath, f"{name}.mp4")
+        imageio.mimwrite(path, [_to_u8(r) for r in rgbs], fps=20, quality=8)
+        return path
+    except Exception as e:  # imageio missing OR no ffmpeg/pyav plugin
         raise RuntimeError(
-            "store_video requires imageio(+ffmpeg), not present in this image; "
-            "the jpg sequence from store_image is written instead"
+            "store_video requires imageio with an mp4 backend (ffmpeg/pyav), "
+            "not present in this image; use store_gif / the jpg sequence"
         ) from e
+
+
+def store_gif(dirpath: str, rgbs: Sequence[np.ndarray], name: str = "video") -> str:
+    """Animated-GIF export (20 fps) via PIL — no ffmpeg needed; the mp4-less
+    fallback for the articulation-sweep video (interface.py:198-202)."""
+    from PIL import Image
+
     os.makedirs(dirpath, exist_ok=True)
-    path = os.path.join(dirpath, f"{name}.mp4")
-    imageio.mimwrite(path, [_to_u8(r) for r in rgbs], fps=20, quality=8)
+    path = os.path.join(dirpath, f"{name}.gif")
+    frames = [Image.fromarray(_to_u8(r)) for r in rgbs]
+    frames[0].save(
+        path, save_all=True, append_images=frames[1:], duration=50, loop=0
+    )
     return path
 
 

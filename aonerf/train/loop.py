@@ -427,6 +427,14 @@ class Trainer:
 
         image_dir = os.path.join(self.run_dir, cfg.render_name)
         store_image(image_dir, rgbs, "image")
+        # video alongside the jpg sequence (interface.py:198-202): mp4 when an
+        # ffmpeg backend exists, animated GIF (pure PIL) otherwise
+        from aonerf.eval.io import store_gif, store_video
+
+        try:
+            store_video(image_dir, rgbs)
+        except RuntimeError:
+            store_gif(image_dir, rgbs)
         write_stats(
             os.path.join(self.run_dir, "results.json"),
             psnr=psnr, ssim=ssim, lpips=lpips, psnr_obj=psnr_obj,

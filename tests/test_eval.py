@@ -123,3 +123,17 @@ class TestIO:
         )
         stats = json.load(open(tmp_path / "results.json"))
         assert stats["psnr"]["test"] == 30.0
+
+
+class TestVideoWriters:
+    def test_store_gif_writes_animated_gif(self, tmp_path):
+        from aonerf.eval.io import store_gif
+
+        rng = np.random.default_rng(0)
+        frames = [rng.uniform(size=(8, 12, 3)).astype(np.float32) for _ in range(3)]
+        path = store_gif(str(tmp_path), frames, name="sweep")
+        from PIL import Image
+
+        with Image.open(path) as im:
+            assert im.format == "GIF"
+            assert getattr(im, "n_frames", 1) == 3
