@@ -55,10 +55,27 @@ def main(argv=None) -> None:
         generate_with_sapien(cfg)
         return
 
-    from aonerf.data.synthetic import generate_multi_scene, generate_single_scene
+    from aonerf.data.synthetic import (
+        generate_multi_scene,
+        generate_single_scene,
+        replay_scene,
+    )
 
     img_wh = tuple(cfg.get("img_wh", (320, 240)))
-    if cfg.get("mode", "single") == "multi":
+    if cfg.get("mode", "single") == "replay":
+        # Saved-pose replay (reference: data_utils.py:244-288 / the
+        # data_gen_saved_pose.json config): re-render at the c2w poses stored
+        # in an existing transforms.json.
+        replay_scene(
+            cfg["out_dir"],
+            transforms_path=cfg["transforms"],
+            split=cfg.get("split", "replay"),
+            img_wh=img_wh,
+            articulation_deg=cfg.get("articulation_deg", 80.0),
+            instance_seed=cfg.get("instance_seed", 0),
+            write_depth=cfg.get("write_depth", False),
+        )
+    elif cfg.get("mode", "single") == "multi":
         generate_multi_scene(
             cfg["out_dir"],
             img_wh=img_wh,
@@ -76,6 +93,7 @@ def main(argv=None) -> None:
             n_test=cfg.get("n_test", 50),
             articulation_deg=cfg.get("articulation_deg", 80.0),
             seed=cfg.get("seed", 0),
+            write_depth=cfg.get("write_depth", False),
         )
     print(json.dumps({"out_dir": cfg["out_dir"], "backend": "sapien" if have_sapien() else "synthetic"}))
 

@@ -135,6 +135,32 @@ def render_scene(
     return rgb.reshape(h, w, 3), alpha.reshape(h, w), seg.reshape(h, w)
 
 
+def render_depth(boxes: List[Box], c2w: np.ndarray, h: int, w: int, focal: float) -> np.ndarray:
+    """Camera-frame z-depth (meters; 0 where no hit), the quantity the
+    reference stores from SAPIEN's depth texture (data_utils.py:89-95)."""
+    dirs = get_ray_directions_np(h, w, focal).reshape(-1, 3)
+    d = dirs @ c2w[:3, :3].T
+    norm = np.linalg.norm(d, axis=-1)
+    d = d / norm[:, None]
+    o = np.broadcast_to(c2w[:3, 3], d.shape)
+
+    best_t = np.full(len(d), np.inf)
+    for box in boxes:
+        hit, t, _ = _ray_box_hits(o, d, box)
+        best_t = np.where(hit & (t < best_t), t, best_t)
+    # ray length -> z-depth: the camera-frame direction has z = -1 before
+    # normalization, so z = t / ||dir_cam||.
+    z = np.where(np.isfinite(best_t), best_t / norm, 0.0)
+    return z.reshape(h, w)
+
+
+def write_depth_png(path: str, depth_m: np.ndarray) -> None:
+    """Depth as millimeter uint16 PNG, the reference's on-disk format
+    (data_utils.py:89-95)."""
+    mm = np.clip(depth_m * 1000.0, 0, np.iinfo(np.uint16).max).astype(np.uint16)
+    Image.fromarray(mm, mode="I;16").save(path)
+
+
 def random_pose_on_sphere(
     rng: np.random.Generator, radius: float = 4.0, jitter: float = 0.5
 ) -> np.ndarray:
@@ -171,9 +197,12 @@ def generate_single_scene(
     articulation_deg: float = 80.0,
     instance_seed: int = 0,
     seed: int = 0,
+    write_depth: bool = False,
 ) -> str:
     """Write a single-scene dataset in the reference's sapien layout
-    ({root}/{split}/rgb/r_#.png + transforms.json with a 'focal' key)."""
+    ({root}/{split}/rgb/r_#.png + transforms.json with a 'focal' key);
+    ``write_depth`` adds {split}/depth/r_#.png (mm uint16) as the reference
+    generator does."""
     w, h = img_wh
     focal = 0.5 * h / np.tan(0.5 * np.deg2rad(FOVY_DEG))
     boxes = laptop_scene(articulation_deg, instance_seed)
@@ -181,15 +210,60 @@ def generate_single_scene(
     for split, count in (("train", n_train), ("val", n_val), ("test", n_test)):
         rgb_dir = os.path.join(root, split, "rgb")
         os.makedirs(rgb_dir, exist_ok=True)
+        if write_depth:
+            os.makedirs(os.path.join(root, split, "depth"), exist_ok=True)
         frames: Dict[str, list] = {}
         for i in range(count):
             c2w = random_pose_on_sphere(rng)
             rgb, alpha, seg = render_scene(boxes, c2w, h, w, focal)
             name = f"r_{i}"
             _write_frame(rgb, alpha, seg, os.path.join(rgb_dir, name + ".png"), None)
+            if write_depth:
+                write_depth_png(
+                    os.path.join(root, split, "depth", name + ".png"),
+                    render_depth(boxes, c2w, h, w, focal),
+                )
             frames[name] = c2w.tolist()
         with open(os.path.join(root, split, "transforms.json"), "w") as f:
             json.dump({"focal": focal, "frames": frames}, f)
+    return root
+
+
+def replay_scene(
+    root: str,
+    transforms_path: str,
+    split: str = "replay",
+    img_wh: Tuple[int, int] = (320, 240),
+    articulation_deg: float = 80.0,
+    instance_seed: int = 0,
+    write_depth: bool = False,
+) -> str:
+    """Re-render a scene at SAVED camera poses — the reference's replay mode
+    (data_utils.py:244-288 renders from previously stored pose files). Reads
+    the c2w matrices (and focal, when present) from an existing
+    transforms.json and writes a new {root}/{split}/ in the same layout."""
+    with open(transforms_path) as f:
+        meta = json.load(f)
+    w, h = img_wh
+    focal = float(meta.get("focal") or 0.5 * h / np.tan(0.5 * np.deg2rad(FOVY_DEG)))
+    boxes = laptop_scene(articulation_deg, instance_seed)
+    rgb_dir = os.path.join(root, split, "rgb")
+    os.makedirs(rgb_dir, exist_ok=True)
+    if write_depth:
+        os.makedirs(os.path.join(root, split, "depth"), exist_ok=True)
+    frames: Dict[str, list] = {}
+    for name, mat in meta["frames"].items():
+        c2w = np.asarray(mat, dtype=np.float64)
+        rgb, alpha, seg = render_scene(boxes, c2w, h, w, focal)
+        _write_frame(rgb, alpha, seg, os.path.join(rgb_dir, name + ".png"), None)
+        if write_depth:
+            write_depth_png(
+                os.path.join(root, split, "depth", name + ".png"),
+                render_depth(boxes, c2w, h, w, focal),
+            )
+        frames[name] = c2w.tolist()
+    with open(os.path.join(root, split, "transforms.json"), "w") as f:
+        json.dump({"focal": focal, "frames": frames}, f)
     return root
 
 

@@ -223,3 +223,32 @@ class TestNativeLoader:
         np.testing.assert_array_equal(ds_nat.all_rays_o, ds_py.all_rays_o)
         np.testing.assert_allclose(ds_nat.all_rays_d, ds_py.all_rays_d, atol=3e-7)
         np.testing.assert_allclose(ds_nat.all_rgbs, ds_py.all_rgbs, atol=2e-7)
+
+
+class TestDatagenDepthReplay:
+    def test_depth_and_replay(self, tmp_path):
+        """write_depth emits mm-uint16 PNGs; replay_scene re-renders saved
+        poses bit-identically (reference: data_utils.py:89-95, :244-288)."""
+        import json
+
+        from PIL import Image
+
+        from aonerf.data.synthetic import generate_single_scene, replay_scene
+
+        root = str(tmp_path / "scene")
+        generate_single_scene(root, img_wh=(40, 30), n_train=2, n_val=1, n_test=1,
+                              write_depth=True, seed=7)
+        d = np.asarray(Image.open(f"{root}/train/depth/r_0.png"))
+        assert d.dtype == np.uint16
+        assert d.max() > 2000  # camera orbits at ~4 m -> >2000 mm hits
+        assert d.min() == 0  # background has no hit
+
+        out = str(tmp_path / "replay")
+        replay_scene(out, f"{root}/train/transforms.json", img_wh=(40, 30),
+                     write_depth=True)
+        a = np.asarray(Image.open(f"{root}/train/rgb/r_0.png"))
+        b = np.asarray(Image.open(f"{out}/replay/rgb/r_0.png"))
+        np.testing.assert_array_equal(a, b)
+        with open(f"{out}/replay/transforms.json") as f:
+            meta = json.load(f)
+        assert "focal" in meta and "r_0" in meta["frames"]
