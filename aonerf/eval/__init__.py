@@ -7,5 +7,9 @@ from aonerf.eval.metrics import (  # noqa: F401
     masked_psnr,
     summarize_metric,
 )
-from aonerf.eval.render import make_chunk_renderer, render_rays_chunked  # noqa: F401
+from aonerf.eval.render import (  # noqa: F401
+    make_chunk_renderer,
+    make_image_renderer,
+    render_rays_chunked,
+)
 from aonerf.eval.io import store_image, store_depth_img, write_stats  # noqa: F401

@@ -15,6 +15,63 @@ import numpy as np
 _RAY_KEYS = ("rays_o", "rays_d", "viewdirs")
 
 
+def make_image_renderer(
+    model,
+    white_bkgd: bool,
+    near: float,
+    far: float,
+    chunk: int = 4096,
+    uses_latents: bool = False,
+    method=None,
+) -> Callable:
+    """One-dispatch full-image renderer: ``lax.map`` over static ray tiles.
+
+    The reference renders eval images with a host-side Python loop over
+    3840-ray chunks (model.py:323-348), one kernel launch per chunk. Here the
+    tile loop lives INSIDE one jitted program (rays padded to a whole number
+    of ``chunk``-sized tiles), so a full image costs a single dispatch — on a
+    dispatch-latency-bound runtime this is the difference between H*W/chunk
+    round-trips and one. Tile compute is sequential (lax.map) so peak memory
+    stays at one tile's working set, same as the reference's chunking intent.
+
+    Returns fn(params, rays[, latents]) -> (rgb (N,3), acc (N,), depth (N,))
+    device arrays; one compilation per distinct ray count N.
+    """
+
+    def _tile_out(params, tile, latents):
+        if uses_latents:
+            out = model.apply(
+                params, tile, False, white_bkgd, near, far, latents, method=method
+            )
+        else:
+            out = model.apply(params, tile, False, white_bkgd, near, far, method=method)
+        return out[-1]
+
+    def _render(params, rays, latents):
+        n = rays["rays_o"].shape[0]
+        n_pad = (-n) % chunk
+        tiles = {}
+        for k in _RAY_KEYS:
+            v = rays[k]
+            if n_pad:
+                v = jnp.concatenate(
+                    [v, jnp.broadcast_to(v[-1:], (n_pad, v.shape[-1]))], axis=0
+                )
+            tiles[k] = v.reshape(-1, chunk, v.shape[-1])
+        rgb, acc, depth = jax.lax.map(
+            lambda tile: _tile_out(params, tile, latents), tiles
+        )
+        return (
+            rgb.reshape(-1, 3)[:n],
+            acc.reshape(-1)[:n],
+            depth.reshape(-1)[:n],
+        )
+
+    if uses_latents:
+        return jax.jit(_render)
+    return jax.jit(lambda params, rays: _render(params, rays, None))
+
+
 def make_chunk_renderer(
     model,
     white_bkgd: bool,

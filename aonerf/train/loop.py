@@ -23,7 +23,7 @@ import numpy as np
 from aonerf.data import dataset_dict
 from aonerf.eval.metrics import masked_psnr, psnr_image, ssim_image, summarize_metric
 from aonerf.eval.io import store_image, write_stats
-from aonerf.eval.render import make_chunk_renderer, render_rays_chunked
+from aonerf.eval.render import make_image_renderer
 from aonerf.models import ArticulatedNeRF, CodeLibraryArticulated, NeRF
 from aonerf.parallel import make_mesh, replicated_sharding, shard_batch, shard_params
 from aonerf.train.step import (
@@ -179,17 +179,20 @@ class Trainer:
         self.state = create_train_state(params, self.tx)
         if self.mesh is not None and cfg.n_model_shards == 1:
             self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+        # One-dispatch tiled image renderer (lax.map over cfg.chunk-ray tiles
+        # inside a single jit) — see aonerf/eval/render.py.
         if cfg.exp_type == "vanilla":
-            self._renderer = make_chunk_renderer(
-                self.model, cfg.white_back, self.near, self.far
+            self._renderer = make_image_renderer(
+                self.model, cfg.white_back, self.near, self.far, chunk=cfg.chunk
             )
         elif cfg.exp_type == "vanilla_autodecoder":
-            self._renderer = make_chunk_renderer(
-                self.model, cfg.white_back, self.near, self.far, uses_latents=True
+            self._renderer = make_image_renderer(
+                self.model, cfg.white_back, self.near, self.far, chunk=cfg.chunk,
+                uses_latents=True,
             )
         else:  # AE: render through the field submodule with encoded latents
-            self._renderer = make_chunk_renderer(
-                self.model, cfg.white_back, self.near, self.far,
+            self._renderer = make_image_renderer(
+                self.model, cfg.white_back, self.near, self.far, chunk=cfg.chunk,
                 uses_latents=True, method=self.model.render,
             )
         if cfg.ckpt_path:
@@ -349,8 +352,8 @@ class Trainer:
                     "rays_d": jnp.asarray(s.rays_d),
                     "viewdirs": jnp.asarray(s.viewdirs),
                 }
-                rgb, acc, depth = render_rays_chunked(
-                    self._renderer, self.state.params, rays, chunk=cfg.chunk
+                rgb, acc, depth = (
+                    np.asarray(x) for x in self._renderer(self.state.params, rays)
                 )
                 psnrs.append(float(psnr_image(jnp.asarray(rgb), jnp.asarray(s.target))))
                 if i == 0:
@@ -364,10 +367,7 @@ class Trainer:
                 img = self.dataset.get_image(ii, di, vi)
                 rays = {k: jnp.asarray(img[k]) for k in ("rays_o", "rays_d", "viewdirs")}
                 render_params, latents = self._render_setup(img)
-                rgb, _, _ = render_rays_chunked(
-                    self._renderer, render_params, rays,
-                    chunk=cfg.chunk, latents=latents,
-                )
+                rgb = np.asarray(self._renderer(render_params, rays, latents)[0])
                 target = jnp.asarray(img["target"])
                 psnrs.append(float(psnr_image(jnp.asarray(rgb), target)))
                 obj_psnrs.append(
@@ -392,9 +392,7 @@ class Trainer:
                     "rays_d": jnp.asarray(s.rays_d),
                     "viewdirs": jnp.asarray(s.viewdirs),
                 }
-                rgb, _, _ = render_rays_chunked(
-                    self._renderer, self.state.params, rays, chunk=cfg.chunk
-                )
+                rgb = np.asarray(self._renderer(self.state.params, rays)[0])
                 rgbs.append(rgb.reshape(h, w, 3))
                 targets.append(s.target.reshape(h, w, 3))
                 masks.append(s.instance_mask.reshape(h, w))
@@ -403,10 +401,7 @@ class Trainer:
                 img = self.dataset.get_test_image(0, pose_idx)
                 rays = {k: jnp.asarray(img[k]) for k in ("rays_o", "rays_d", "viewdirs")}
                 render_params, latents = self._render_setup(img, is_test=True)
-                rgb, _, _ = render_rays_chunked(
-                    self._renderer, render_params, rays,
-                    chunk=cfg.chunk, latents=latents,
-                )
+                rgb = np.asarray(self._renderer(render_params, rays, latents)[0])
                 rgbs.append(rgb.reshape(h, w, 3))
                 targets.append(img["target"].reshape(h, w, 3))
                 masks.append(img["instance_mask"].reshape(h, w))

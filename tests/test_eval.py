@@ -10,6 +10,7 @@ import numpy as np
 from aonerf.eval import (
     lpips_image,
     make_chunk_renderer,
+    make_image_renderer,
     masked_psnr,
     psnr_image,
     render_rays_chunked,
@@ -106,6 +107,39 @@ class TestChunkedRender:
         # shifts the (piecewise-constant) fine PDF samples slightly
         np.testing.assert_allclose(rgb, np.asarray(direct[0]), rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(acc, np.asarray(direct[1]), rtol=1e-4, atol=1e-4)
+
+        # the one-dispatch lax.map renderer tiles identically to the host loop
+        fused = make_image_renderer(model, True, 2.0, 6.0, chunk=16)
+        f_rgb, f_acc, f_depth = (np.asarray(x) for x in fused(params, rays))
+        assert f_rgb.shape == (n, 3) and f_acc.shape == (n,) and f_depth.shape == (n,)
+        np.testing.assert_allclose(f_rgb, rgb, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(f_acc, acc, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(f_depth, depth, rtol=1e-6, atol=1e-6)
+
+    def test_image_renderer_with_latents(self):
+        from aonerf.models import ArticulatedNeRF, CodeLibraryArticulated
+
+        model = ArticulatedNeRF(num_coarse_samples=4, num_fine_samples=4)
+        lib = CodeLibraryArticulated()
+        rng = np.random.default_rng(1)
+        n = 37
+        d = rng.standard_normal((n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = {
+            "rays_o": jnp.asarray(-4.0 * d),
+            "rays_d": jnp.asarray(d),
+            "viewdirs": jnp.asarray(d),
+        }
+        lib_params = lib.init(jax.random.PRNGKey(0), jnp.asarray(0), jnp.asarray(0))
+        latents = lib.apply(lib_params, jnp.asarray(0), jnp.asarray(0))
+        latents = {k: jnp.atleast_2d(v) for k, v in latents.items()}
+        params = model.init(
+            jax.random.PRNGKey(0), rays, False, True, 2.0, 6.0, latents
+        )
+        direct = model.apply(params, rays, False, True, 2.0, 6.0, latents)[-1]
+        fused = make_image_renderer(model, True, 2.0, 6.0, chunk=16, uses_latents=True)
+        f_rgb, _, _ = (np.asarray(x) for x in fused(params, rays, latents))
+        np.testing.assert_allclose(f_rgb, np.asarray(direct[0]), rtol=1e-4, atol=1e-4)
 
 
 class TestIO:
