@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from aonerf.models.mlp import fused_density_bottleneck
 from aonerf.ops import encoding, render, sampling
 
 _XAVIER = nn.initializers.xavier_uniform()
@@ -63,6 +64,8 @@ class ArticulatedNeRFMLP(nn.Module):
     # only used by the relu-sigma (AE) variant — softplus has live gradients.
     density_bias_init: float = 0.0
     compute_dtype: jnp.dtype = jnp.float32
+    # One matmul for density+bottleneck (see mlp.fused_density_bottleneck).
+    fused_head: bool = False
 
     def _dense(self, feats: int, name: str, bias_init: float = 0.0) -> nn.Dense:
         return nn.Dense(
@@ -120,12 +123,17 @@ class ArticulatedNeRFMLP(nn.Module):
             if idx % self.skip_layer == 0 and idx > 0:
                 x = jnp.concatenate([x, inputs], axis=-1)
 
-        raw_density = self._dense(
-            self.num_density_channels, "density", bias_init=self.density_bias_init
-        )(x)
+        if self.fused_head:
+            raw_density, bottleneck = fused_density_bottleneck(
+                self, x, self.num_density_channels, self.netwidth,
+                self.density_bias_init, self.compute_dtype,
+            )
+        else:
+            raw_density = self._dense(
+                self.num_density_channels, "density", bias_init=self.density_bias_init
+            )(x)
+            bottleneck = self._dense(self.netwidth, "bottleneck")(x)
         raw_density = raw_density.reshape(num_rays, num_samples, self.num_density_channels)
-
-        bottleneck = self._dense(self.netwidth, "bottleneck")(x)
         condition = condition.astype(self.compute_dtype)
         condition_tile = jnp.repeat(condition[:, None, :], num_samples, axis=1).reshape(
             n_rows, condition.shape[-1]

@@ -20,17 +20,19 @@ import numpy as np
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    # bf16 @ 256 rays/step is the measured sweet spot on v5e (116K rays/s vs
-    # 45K for f32 @ 4096): small batches keep the fwd+bwd activations VMEM-
-    # resident, and bf16 dots roughly double the MXU rate on top. Batches
-    # > 4096 (or bf16 @ 4096) trip an XLA regalloc RET_CHECK
-    # (live_range_finder.cc) on this toolchain. Quality at this config is
-    # verified equal-or-better per ray than f32 @ 4096 (RESULTS.md): with
-    # grad_clip=1.0, 12800 steps @ 256 reaches val 35.1 dB vs 30.3 dB for
-    # 800 steps @ 4096 on the same 3.28M-ray budget.
-    p.add_argument("--batch-size", type=int, default=256)
+    # bf16 @ small batch is the measured sweet spot on v5e (~122K rays/s @
+    # 224 vs 45K for f32 @ 4096): small batches keep the fwd+bwd activations
+    # VMEM-resident, and bf16 dots roughly double the MXU rate on top.
+    # Fine sweep: 192→117.8K, 224→122.7K, 256→119.9K, 288→122.6K, 320→103.5K
+    # (cliff); reproducible to ~0.5%. Batches > 4096 (or bf16 @ 4096) trip an
+    # XLA regalloc RET_CHECK (live_range_finder.cc) on this toolchain.
+    # Quality in this regime is verified equal-or-better per ray than
+    # f32 @ 4096 (RESULTS.md): with grad_clip=1.0, 12800 steps @ 256 reaches
+    # val 35.1 dB vs 30.3 dB for 800 steps @ 4096 on the same 3.28M-ray
+    # budget.
+    p.add_argument("--batch-size", type=int, default=224)
     p.add_argument("--steps", type=int, default=12, help="outer (timed) calls")
-    p.add_argument("--inner-steps", type=int, default=160,
+    p.add_argument("--inner-steps", type=int, default=183,
                    help="optimizer steps fused into one program via lax.scan")
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
