@@ -29,7 +29,12 @@ class Config:
     img_wh: Tuple[int, int] = (640, 480)
     white_back: bool = True
     batch_size: int = 2048  # rays per step (vanilla); 4096 via sapien_multi
-    chunk: int = 3840  # eval rays per tile (opt.py:103)
+    # Eval rays per tile (reference --chunk, opt.py:103, default 3840 there).
+    # On TPU small tiles win (the tile loop is ONE lax.map program, so there
+    # is no per-tile dispatch cost, and a small tile's working set stays
+    # VMEM-resident): 640x480 full-image render measured 377K rays/s @ 256
+    # vs 262K @ 4096 (v5e).
+    chunk: int = 256
     samples_per_epoch: int = 4000  # sapien_multi virtual epoch
 
     # field
