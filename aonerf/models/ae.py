@@ -35,6 +35,20 @@ class AutoEncoderArticulatedNeRF(nn.Module):
     noise_std: float = 0.0
     lindisp: bool = False
     embed_deg: bool = True
+    # softplus: measured, the relu reference choice (model_ae_art.py:233)
+    # leaves the field globally DEAD from early training at every lr tried on
+    # the realistic config (exact-zero density -> zero gradient, no
+    # recovery), while softplus always trains. Its side effect — softplus
+    # density is never exactly 0, and the integrator's infinite last dist
+    # (reference helper.py:163) then pins the full-ray acc at exactly 1 —
+    # is handled by supervising the TAIL-FREE opacity instead
+    # (ArticulatedNeRF.acc_minus_tail below). Set "relu" for strict parity.
+    sigma_activation: str = "softplus"
+    # Soft density cap (see ArticulatedNeRF.sigma_cap): without it the
+    # jointly-trained encoder drives σ into f32 alpha saturation (acc == 1.0
+    # exactly on every ray, all transmittance gradients underflow to zero)
+    # within ~2k steps — measured, RESULTS.md. None disables (parity).
+    sigma_cap: Optional[float] = 500.0
     compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -47,7 +61,9 @@ class AutoEncoderArticulatedNeRF(nn.Module):
             deg_view=self.deg_view,
             noise_std=self.noise_std,
             lindisp=self.lindisp,
-            sigma_activation="relu",
+            sigma_activation=self.sigma_activation,
+            sigma_cap=self.sigma_cap,
+            tail_to_background=True,
             rgb_padding=0.0,
             embed_deg=self.embed_deg,
             compute_dtype=self.compute_dtype,

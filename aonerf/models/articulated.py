@@ -163,6 +163,23 @@ class ArticulatedNeRF(nn.Module):
     rgb_padding: float = 0.001
     density_bias: float = -1.0
     sigma_activation: str = "softplus"  # 'softplus' (autodecoder) | 'relu' (AE)
+    # Optional soft density cap (None = unbounded, reference parity); see the
+    # tanh cap in __call__. The AE system sets this — its jointly-trained
+    # encoder drives σ into f32 alpha saturation without it.
+    sigma_cap: Optional[float] = None
+    # Treat the final sample as background instead of field content. The
+    # integrator gives the last sample an infinite extent (reference
+    # helper.py:163: dists[-1] = 1e10) so it absorbs all leftover
+    # transmittance — correct for a relu density field (exact zeros in empty
+    # space) but degenerate for softplus (density never exactly 0): the
+    # full-ray acc is pinned at 1.0 on every ray (an opacity loss on it has
+    # zero gradient forever) and the background is painted with the tail
+    # sample's unsupervised color rather than the white background (measured,
+    # RESULTS.md). With this flag the tail's transmittance share goes to the
+    # background color and the reported acc excludes the tail weight: acc ~ 1
+    # where a surface absorbs the ray, ~ Σσδ ≈ 0 in empty space — a
+    # reachable opacity target, and bg pixels render the true background.
+    tail_to_background: bool = False
     enc_after: bool = True
     embed_deg: bool = False
     compute_dtype: jnp.dtype = jnp.float32
@@ -250,9 +267,26 @@ class ArticulatedNeRF(nn.Module):
                 sigma = nn.softplus(raw_sigma + self.density_bias)
             else:  # AE variant: plain relu, no bias (model_ae_art.py:233,292)
                 sigma = nn.relu(raw_sigma)
+            if self.sigma_cap is not None:
+                # Soft density cap: sigma = cap·tanh(sigma/cap) ≈ identity
+                # below ~cap/2, saturating at cap. Prevents the f32 dead zone
+                # where alpha = 1-exp(-σδ) rounds to 1 exactly and ALL
+                # gradients through the transmittance underflow to zero —
+                # measured on the AE run: a runaway σ saturates acc to 1.0 on
+                # every ray within ~2k steps and freezes the haze forever
+                # (RESULTS.md). cap=500 over the [2,6] scene (δ≈0.02) still
+                # allows alpha≈0.9999 — visually fully opaque.
+                sigma = self.sigma_cap * jnp.tanh(sigma / self.sigma_cap)
 
             comp_rgb, acc, weights, depth = render.volumetric_rendering(
                 rgb, sigma, t_vals, rays["rays_d"], white_bkgd=white_bkgd
             )
+            if self.tail_to_background:
+                w_last = weights[..., -1]
+                # comp = Σ_{i<N} w_i·rgb_i + (1 − acc_excl)·bg; equivalently
+                # move the tail term from field color to background color.
+                bg = 1.0 if white_bkgd else 0.0
+                comp_rgb = comp_rgb + w_last[..., None] * (bg - rgb[..., -1, :])
+                acc = acc - w_last
             ret.append((comp_rgb, acc, depth))
         return ret

@@ -115,6 +115,7 @@ class Trainer:
 
                 ae_kwargs = dict(mlp_kwargs)
                 ae_kwargs.pop("netdepth", None)
+                ae_kwargs["sigma_activation"] = cfg.ae_sigma_activation
                 self.model = AutoEncoderArticulatedNeRF(**ae_kwargs)
                 self.code_library = None
             self.dataset = ds_cls(
@@ -147,7 +148,7 @@ class Trainer:
                 randomized=cfg.randomized, lr_fn=self.lr_fn,
             )
         elif cfg.exp_type == "vanilla_ae_art":
-            from aonerf.train.step_ae import make_ae_train_step
+            from aonerf.train.step_ae import make_ae_device_train_step
 
             w, h = cfg.img_wh
             src = jnp.zeros((1, 3, h, w))
@@ -155,9 +156,18 @@ class Trainer:
                 key, dummy, src, jnp.asarray(0.5), False, cfg.white_back,
                 self.near, self.far,
             )
-            self.step_fn = make_ae_train_step(
+            # Fully on-device step (sampling + src-image gather + encode
+            # inside the program), scan-fused; fit() falls back to the
+            # host-batched step for non-rectangular datasets.
+            self._inner_steps = max(1, cfg.inner_steps)
+            self.step_fn = make_ae_device_train_step(
                 self.model, self.tx, cfg.white_back, self.near, self.far,
+                img_wh=cfg.img_wh, batch_size=cfg.batch_size,
                 randomized=cfg.randomized, lr_fn=self.lr_fn,
+                inner_steps=self._inner_steps,
+                opacity_loss=cfg.ae_opacity_loss,
+                photometric=cfg.ae_photometric,
+                opacity_lambda=cfg.opacity_lambda,
             )
         else:
             lib_params = self.code_library.init(key, jnp.asarray(0), jnp.asarray(0))
@@ -230,17 +240,32 @@ class Trainer:
             buffers = {k: jnp.asarray(v) for k, v in self.dataset.train_buffers().items()}
             if self.mesh is not None:
                 buffers = shard_batch(self.mesh, buffers)
-        elif cfg.exp_type == "vanilla_autodecoder":
+        elif cfg.exp_type in ("vanilla_autodecoder", "vanilla_ae_art"):
             # whole multi-config dataset resident in HBM; per-step sampling
             # happens inside the jitted step (replicated across the mesh —
             # the scene images are small relative to HBM)
-            buffers = {k: jnp.asarray(v) for k, v in self.dataset.device_buffers().items()}
-            if self.mesh is not None:
+            try:
+                buffers = {k: jnp.asarray(v) for k, v in self.dataset.device_buffers().items()}
+            except ValueError:
+                if cfg.exp_type == "vanilla_autodecoder":
+                    raise
+                # AE fallback for non-rectangular datasets: host-batched step
+                from aonerf.train.step_ae import make_ae_train_step
+
+                self.step_fn = make_ae_train_step(
+                    self.model, self.tx, cfg.white_back, self.near, self.far,
+                    randomized=cfg.randomized, lr_fn=self.lr_fn,
+                    opacity_loss=cfg.ae_opacity_loss,
+                    photometric=cfg.ae_photometric,
+                    opacity_lambda=cfg.opacity_lambda,
+                )
+                self._inner_steps = 1
+            if buffers is not None and self.mesh is not None:
                 from aonerf.parallel import replicated_sharding
 
                 buffers = jax.device_put(buffers, replicated_sharding(self.mesh))
 
-        stride = getattr(self, "_inner_steps", 1) if cfg.exp_type != "vanilla_ae_art" else 1
+        stride = getattr(self, "_inner_steps", 1) if buffers is not None else 1
         profiling = False
         if cfg.profile_steps > 0:  # the reference's profiler="simple" analogue
             jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))

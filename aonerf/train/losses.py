@@ -55,6 +55,38 @@ def opacity_loss_bce(
     return loss * opacity_lambda
 
 
+def opacity_loss_bce_prob(
+    accs: Sequence[jnp.ndarray],
+    instance_mask: jnp.ndarray,
+    opacity_lambda: float = 0.5,
+    eps: float = 1e-2,
+) -> jnp.ndarray:
+    """True-probability BCE(acc, mask) over levels — the WORKING opacity loss.
+
+    The reference's active variant (opacity_loss_CE, model_ae_art.py:646-663)
+    feeds the accumulated opacity — already a probability in [0, 1] — through
+    BCEWithLogits, so sigmoid(acc) >= 0.5 and background pixels exert a
+    constant, unsatisfiable downward force on density (grad 0.5·λ per bg
+    pixel at acc=0, forever). Measured here, that pressure collapses the AE
+    field mid-training (acc -> 0 globally, RESULTS.md).
+
+    Treating acc as the probability it is makes acc==mask the optimum. The
+    clip on p means the gradient is exactly zero at full saturation (acc=0 or
+    1) — deliberate: it bounds the opacity force to λ·1/eps only INSIDE the
+    support and leaves saturated states to the photometric loss instead of
+    shoving them. Measured across the probe matrix (RESULTS.md): this is the
+    only variant that kept both hierarchy levels alive over a long horizon —
+    an eps-inside-the-log form (unbounded restoring force at the boundaries)
+    froze one level into saturation, as did the clamped-MSE and logits forms.
+    """
+    mask = instance_mask.astype(jnp.float32)
+    loss = 0.0
+    for acc in accs:
+        p = jnp.clip(acc.astype(jnp.float32), eps, 1.0 - eps)
+        loss = loss + jnp.mean(-(mask * jnp.log(p) + (1.0 - mask) * jnp.log1p(-p)))
+    return loss * opacity_lambda
+
+
 def opacity_loss_autorf(
     accs: Sequence[jnp.ndarray], instance_mask: jnp.ndarray
 ) -> jnp.ndarray:

@@ -178,7 +178,10 @@ def make_vanilla_train_multi_step(
 
 
 def sample_multi_batch(
-    buffers: Dict[str, jnp.ndarray], key: jax.Array, batch_size: int
+    buffers: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    batch_size: int,
+    src_hw: Optional[Tuple[int, int]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """On-device sampling of a multi-config batch: pick a random (instance,
     articulation, view), gather ``batch_size`` random pixels, and build the
@@ -189,6 +192,10 @@ def sample_multi_batch(
     gathers. ``buffers`` comes from SapienMultiDataset.device_buffers().
     Direction semantics match get_rays (ray_utils.py:118-159): rays_d and
     viewdirs are both the unit-normalized rotated directions.
+
+    ``src_hw`` = (h, w): also emit the sampled view itself as ``src_imgs``,
+    a (3, h, w) image normalized to [-1, 1] (the reference's img_transform,
+    sapien_multi.py:144) for the auto-encoder's image encoder.
     """
     n_i, n_d, n_v, hw, _ = buffers["rgb"].shape
     k_i, k_d, k_v, k_pix = jax.random.split(key, 4)
@@ -203,9 +210,10 @@ def sample_multi_batch(
     viewdirs = world_d / jnp.linalg.norm(world_d, axis=-1, keepdims=True)
     rays_o = jnp.broadcast_to(c2w[:, 3], viewdirs.shape)
 
-    rgb = buffers["rgb"][ii, di, vi][pix].astype(jnp.float32) / 255.0
+    view_rgb = buffers["rgb"][ii, di, vi]  # (hw, 3) uint8
+    rgb = view_rgb[pix].astype(jnp.float32) / 255.0
     mask = buffers["mask"][ii, di, vi][pix]
-    return {
+    batch = {
         "rays_o": rays_o,
         "rays_d": viewdirs,
         "viewdirs": viewdirs,
@@ -215,6 +223,11 @@ def sample_multi_batch(
         "instance_id": ii,
         "articulation_id": di,
     }
+    if src_hw is not None:
+        h, w = src_hw
+        src = view_rgb.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        batch["src_imgs"] = src.reshape(h, w, 3).transpose(2, 0, 1)
+    return batch
 
 
 def _autodecoder_loss_fn(

@@ -4,8 +4,10 @@ Reference parity: models/vanilla_nerf/model_ae_art.py:356-431
 (LitNeRF_AE_ART.training_step):
   loss = maskedMSE(coarse) + maskedMSE(fine)        (fg pixels only, :380-383)
        + MSE(pred_state, deg)                        (joint-state, :385-389)
-       + 0.5 * BCEWithLogits(acc, mask) over levels  (opacity, :646-663)
-Optimizer/schedule identical to the other systems.
+       + 0.5 * opacity(acc, mask) over levels        (opacity, :630-691)
+Optimizer/schedule identical to the other systems. The opacity default here
+is a clipped true-probability BCE, not the reference's active BCEWithLogits
+one — the logits form provably collapses the field (see _OPACITY_LOSSES).
 """
 
 from typing import Callable, Dict, Tuple
@@ -15,22 +17,45 @@ import jax.numpy as jnp
 import optax
 
 from aonerf.ops.math import mse2psnr
-from aonerf.train.losses import masked_mse, opacity_loss_bce
+from aonerf.train.losses import (
+    masked_mse,
+    opacity_loss_bce,
+    opacity_loss_bce_prob,
+    opacity_loss_mse,
+)
 from aonerf.train.lr import log_lerp_lr
-from aonerf.train.step import TrainState
+from aonerf.train.step import TrainState, sample_multi_batch
+
+# Opacity-loss variants. The WORKING default is "bce_prob" — clipped
+# true-probability BCE (losses.opacity_loss_bce_prob): satisfiable optimum
+# (acc==mask) and bounded forces that leave saturated states alone. In the
+# measured probe matrix (RESULTS.md) it is the only variant that kept both
+# hierarchy levels alive over a long horizon. The reference's ACTIVE choice
+# "bce_logits" (opacity_loss_CE, model_ae_art.py:646-663) feeds a probability
+# through BCEWithLogits, whose bg gradient never vanishes — it collapses the
+# field mid-training; its clamped-MSE variant "mse" (:630-644) froze the fine
+# level the same way. All reference variants stay available for parity.
+_OPACITY_LOSSES = {
+    "mse": lambda accs, mask, opacity_lambda: opacity_loss_mse(accs, mask)
+    * opacity_lambda,
+    "bce_prob": opacity_loss_bce_prob,
+    "bce_logits": opacity_loss_bce,
+    "none": lambda accs, mask, opacity_lambda: jnp.zeros(()),
+    # Composite: prob-BCE's strong boundary pulls plus the clamped MSE's
+    # uniform linear pull toward acc==mask.
+    "bce_prob+mse": lambda accs, mask, opacity_lambda: (
+        opacity_loss_bce_prob(accs, mask, opacity_lambda=opacity_lambda)
+        + opacity_loss_mse(accs, mask) * opacity_lambda
+    ),
+}
 
 
-def make_ae_train_step(
-    model,
-    tx: optax.GradientTransformation,
-    white_bkgd: bool,
-    near: float,
-    far: float,
-    randomized: bool = True,
-    opacity_lambda: float = 0.5,
-    donate: bool = True,
-    lr_fn=log_lerp_lr,
+def _ae_loss_fn(
+    model, white_bkgd, near, far, randomized, opacity_lambda,
+    opacity_loss: str = "bce_prob", photometric: str = "masked",
 ) -> Callable:
+    opacity_fn = _OPACITY_LOSSES[opacity_loss]
+
     def loss_fn(params, batch, render_key):
         levels, latents, pred_state = model.apply(
             params,
@@ -43,15 +68,40 @@ def make_ae_train_step(
             far,
             key=render_key,
         )
-        mask = batch["instance_mask"]
-        loss0 = masked_mse(levels[0][0], batch["target"], mask)
-        loss1 = masked_mse(levels[1][0], batch["target"], mask)
+        mask = batch["instance_mask"].astype(jnp.float32)
+        if photometric == "masked":  # reference: fg pixels only (:380-383)
+            loss0 = masked_mse(levels[0][0], batch["target"], mask)
+            loss1 = masked_mse(levels[1][0], batch["target"], mask)
+        else:  # "full": all pixels (targets are already white-composited)
+            loss0 = jnp.mean((levels[0][0] - batch["target"]) ** 2)
+            loss1 = jnp.mean((levels[1][0] - batch["target"]) ** 2)
         loss_state = jnp.mean((pred_state.reshape(()) - batch["deg"]) ** 2)
-        loss_op = opacity_loss_bce(
+        loss_op = opacity_fn(
             [levels[0][1], levels[1][1]], mask, opacity_lambda=opacity_lambda
         )
         loss = loss0 + loss1 + loss_state + loss_op
         return loss, (loss0, loss1, loss_state, loss_op)
+
+    return loss_fn
+
+
+def make_ae_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    white_bkgd: bool,
+    near: float,
+    far: float,
+    randomized: bool = True,
+    opacity_lambda: float = 0.5,
+    donate: bool = True,
+    lr_fn=log_lerp_lr,
+    opacity_loss: str = "bce_prob",
+    photometric: str = "masked",
+) -> Callable:
+    loss_fn = _ae_loss_fn(
+        model, white_bkgd, near, far, randomized, opacity_lambda,
+        opacity_loss=opacity_loss, photometric=photometric,
+    )
 
     def train_step(state: TrainState, batch, base_key) -> Tuple[TrainState, Dict]:
         render_key = jax.random.fold_in(base_key, state.step)
@@ -70,3 +120,69 @@ def make_ae_train_step(
         return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_ae_device_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    white_bkgd: bool,
+    near: float,
+    far: float,
+    img_wh: Tuple[int, int],
+    batch_size: int = 4096,
+    randomized: bool = True,
+    opacity_lambda: float = 0.5,
+    donate: bool = True,
+    lr_fn=log_lerp_lr,
+    inner_steps: int = 1,
+    opacity_loss: str = "bce_prob",
+    photometric: str = "masked",
+) -> Callable:
+    """Fully on-device auto-encoder step: (instance, articulation, view,
+    pixel) sampling AND the source-image gather + [-1,1] normalization happen
+    inside the jitted program (sample_multi_batch with src_hw), so a step —
+    including the ResNet encode of the sampled view — needs zero host work or
+    transfer. ``inner_steps`` > 1 scan-fuses that many optimizer steps per
+    dispatch, exactly like the vanilla/autodecoder multi-steps.
+
+    Replaces the reference's host DataLoader + Lightning step pair
+    (model_ae_art.py:356-431 over sapien_multi.py:250-306) for rectangular
+    datasets; the host-batched make_ae_train_step remains the fallback.
+    step(state, buffers, base_key) -> (state, metrics); ``buffers`` from
+    SapienMultiDataset.device_buffers(), uploaded once.
+    """
+    loss_fn = _ae_loss_fn(
+        model, white_bkgd, near, far, randomized, opacity_lambda,
+        opacity_loss=opacity_loss, photometric=photometric,
+    )
+    w, h = img_wh
+
+    def one_step(state: TrainState, buffers, base_key):
+        key = jax.random.fold_in(base_key, state.step)
+        sample_key, render_key = jax.random.split(key)
+        batch = sample_multi_batch(buffers, sample_key, batch_size, src_hw=(h, w))
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (l0, l1, ls, lo)), grads = grad_fn(state.params, batch, render_key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "loss_state": ls,
+            "opacity_loss": lo,
+            "psnr0": mse2psnr(l0),
+            "psnr1": mse2psnr(l1),
+            "lr": lr_fn(state.step),
+        }
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    if inner_steps <= 1:
+        return jax.jit(one_step, donate_argnums=(0,) if donate else ())
+
+    def multi_step(state, buffers, base_key):
+        def body(carry, _):
+            return one_step(carry, buffers, base_key)
+
+        state, metrics = jax.lax.scan(body, state, None, length=inner_steps)
+        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())

@@ -79,6 +79,17 @@ class Config:
     ckpt_path: Optional[str] = None
     weight_path: Optional[str] = None
 
+    # auto-encoder (vanilla_ae_art) loss selection; see train/step_ae.py.
+    # opacity: bce_prob (working default) | mse | bce_logits (reference's
+    # active-but-collapsing choice) | bce_prob+mse | none
+    ae_opacity_loss: str = "bce_prob"
+    ae_photometric: str = "masked"  # masked (reference) | full
+    opacity_lambda: float = 0.5
+    # softplus trains; relu (reference, model_ae_art.py:233) measured dead at
+    # every lr tried. The AE supervises tail-free opacity so softplus's
+    # acc==1 pinning does not matter (see models/ae.py, RESULTS.md).
+    ae_sigma_activation: str = "softplus"
+
     # parallelism
     n_model_shards: int = 1
 

@@ -124,6 +124,50 @@ class TestAutoEncoderSystem:
             assert np.isfinite(float(metrics[k])), k
         assert int(state.step) == 1
 
+    def _buffers(self, h=48, w=64, n_i=1, n_d=2, n_v=2, seed=3):
+        rng = np.random.default_rng(seed)
+        hw = h * w
+        c2w = np.tile(np.eye(3, 4, dtype=np.float32), (n_i, n_d, n_v, 1, 1))
+        c2w[..., 2, 3] = 4.0
+        return {
+            "rgb": jnp.asarray(rng.integers(0, 255, (n_i, n_d, n_v, hw, 3), dtype=np.uint8)),
+            "mask": jnp.asarray(rng.integers(0, 2, (n_i, n_d, n_v, hw)).astype(np.uint8)),
+            "c2w": jnp.asarray(c2w),
+            "directions": jnp.asarray(rng.standard_normal((hw, 3)).astype(np.float32)),
+            "deg": jnp.asarray(np.deg2rad(np.arange(n_d) * 45.0).astype(np.float32)),
+        }
+
+    def test_device_train_step_runs(self, model_and_params):
+        """Fully on-device AE step (sampling + src gather + encode in one
+        program), scan-fused over 2 inner steps."""
+        from aonerf.train import create_train_state, make_adam
+        from aonerf.train.step_ae import make_ae_device_train_step
+
+        model, params = model_and_params
+        buffers = self._buffers()
+        tx = make_adam(lr_init=1e-3, lr_delay_steps=0)
+        state = create_train_state(params, tx)
+        step = make_ae_device_train_step(
+            model, tx, True, 2.0, 6.0, img_wh=(64, 48), batch_size=16,
+            donate=False, inner_steps=2,
+        )
+        state, metrics = step(state, buffers, jax.random.PRNGKey(0))
+        for k in ("loss", "loss_state", "opacity_loss", "psnr0", "psnr1"):
+            assert np.isfinite(float(metrics[k])), k
+        assert int(state.step) == 2
+
+    def test_device_src_imgs_match_host_normalization(self):
+        """sample_multi_batch(src_hw=...) must reproduce the host pipeline's
+        [-1,1] (3,h,w) normalization (SapienMultiDataset.normalized_image)."""
+        from aonerf.train.step import sample_multi_batch
+
+        h, w = 6, 8
+        buffers = self._buffers(h=h, w=w, n_i=1, n_d=1, n_v=1)
+        batch = sample_multi_batch(buffers, jax.random.PRNGKey(1), 4, src_hw=(h, w))
+        rgb = np.asarray(buffers["rgb"][0, 0, 0]).reshape(h, w, 3)
+        want = np.moveaxis((rgb.astype(np.float32) / 255.0 - 0.5) / 0.5, -1, 0)
+        np.testing.assert_allclose(np.asarray(batch["src_imgs"]), want, atol=1e-6)
+
 
 class TestSpatialHeads:
     def test_pixel_aligned_color_head(self):

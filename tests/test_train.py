@@ -63,6 +63,42 @@ class TestLosses:
         v = float(opacity_loss_bce(accs, mask, opacity_lambda=0.05))
         assert v < 0.01  # near-perfect logits -> tiny scaled loss
 
+    def test_opacity_bce_prob_properties(self):
+        """The probability-BCE variant must (a) be near-minimal at acc==mask,
+        (b) pull an off-target field back toward the mask inside (0, 1), and
+        (c) exert ZERO force at full saturation — the clip's dead zone is a
+        deliberate force bound (losses.opacity_loss_bce_prob; RESULTS.md)."""
+        import jax
+
+        from aonerf.train.losses import opacity_loss_bce_prob
+
+        mask = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+        perfect = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+        loss_perfect = float(opacity_loss_bce_prob([perfect] * 2, mask))
+        dead = jnp.asarray([0.0, 1.0, 0.0, 1.0])  # fg empty, bg full haze
+        loss_dead = float(opacity_loss_bce_prob([dead] * 2, mask))
+        assert loss_perfect < 0.05 < loss_dead
+
+        mid = jnp.asarray([0.3, 0.7, 0.3, 0.7])  # off target, inside (0,1)
+        g_mid = jax.grad(
+            lambda a: opacity_loss_bce_prob([a], mask, opacity_lambda=0.5)
+        )(mid)
+        assert float(g_mid[0]) < 0.0  # fg below target: pulled UP
+        assert float(g_mid[1]) > 0.0  # bg above target: pushed DOWN
+
+        g_dead = jax.grad(
+            lambda a: opacity_loss_bce_prob([a], mask, opacity_lambda=0.5)
+        )(dead)
+        assert float(jnp.max(jnp.abs(g_dead))) == 0.0  # bounded: no shove
+
+        # the reference's logits form pushes bg acc down even when correct:
+        # grad = (sigmoid(acc) - 0) / n * lambda >= 0.5/n * lambda > 0
+        near_perfect = jnp.asarray([1.0, 0.2, 1.0, 0.2])
+        g_logits = jax.grad(
+            lambda a: opacity_loss_bce([a], mask, opacity_lambda=0.5)
+        )(near_perfect)
+        assert float(g_logits[1]) > 0.05
+
 
 def _toy_buffers(n=512, seed=0):
     rng = np.random.default_rng(seed)
