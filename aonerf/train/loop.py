@@ -443,7 +443,21 @@ class Trainer:
                 for a, b, m in zip(rgbs, targets, masks)
             ]
         )
-        lpips = {"test": float("nan")}  # gated: no pretrained VGG in-image
+        # LPIPS activates when exported VGG weights are pointed to by
+        # AONERF_LPIPS_WEIGHTS (tools/export_lpips_weights.py); this image
+        # cannot download the pretrained net, so it is NaN-gated otherwise.
+        lpips_weights = os.environ.get("AONERF_LPIPS_WEIGHTS", "")
+        if lpips_weights and os.path.exists(lpips_weights):
+            from aonerf.eval.metrics import lpips_image
+
+            lpips = summarize_metric(
+                [
+                    lpips_image(jnp.asarray(a), jnp.asarray(b), lpips_weights)
+                    for a, b in zip(rgbs, targets)
+                ]
+            )
+        else:
+            lpips = {"test": float("nan")}
 
         image_dir = os.path.join(self.run_dir, cfg.render_name)
         store_image(image_dir, rgbs, "image")

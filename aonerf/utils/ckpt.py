@@ -7,8 +7,9 @@ load) with Orbax equivalents on pytrees.
 """
 
 import os
-from typing import Any, Optional
+from typing import Any, Optional, Sequence
 
+import jax
 import orbax.checkpoint as ocp
 
 
@@ -50,6 +51,51 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mgr.close()
+
+
+def _flatten_paths(tree: Any):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {
+        "/".join(
+            str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+            for k in path
+        ): leaf
+        for path, leaf in flat
+    }
+
+
+def load_partial(
+    params: Any,
+    restored_params: Any,
+    prefixes_to_ignore: Sequence[str] = (),
+) -> Any:
+    """Non-strict checkpoint surgery on pytrees: copy every restored leaf
+    whose path exists in ``params`` with a matching shape, skip paths under
+    any of ``prefixes_to_ignore``, and leave everything else untouched.
+
+    Reference parity: utils/__init__.py:117-141 (`extract_model_state_dict`
+    + `load_ckpt` — non-strict state-dict load with prefix ignore; mismatched
+    or missing keys are skipped with a note, not an error).
+    """
+    target = _flatten_paths(params)
+    source = _flatten_paths(restored_params)
+    taken = {}
+    for path, leaf in source.items():
+        if any(path.startswith(p) for p in prefixes_to_ignore):
+            continue
+        if path in target and getattr(target[path], "shape", None) == getattr(
+            leaf, "shape", None
+        ):
+            taken[path] = leaf
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(params)
+    new_leaves = []
+    for path, leaf in leaves_with_path:
+        key = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+            for k in path
+        )
+        new_leaves.append(taken.get(key, leaf))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
 def load_params_subtree(state: Any, restored: Any, subtree: str) -> Any:

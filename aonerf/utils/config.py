@@ -119,12 +119,15 @@ _ALIASES = {
     "W": "netwidth",
     "lr": "lr_init",
     "save_path": "render_name",
+    "perturb": "randomized",  # reference treats it as a 0/1 factor (opt.py:30)
 }
 
 
 def _coerce(name: str, value: Any) -> Any:
     if name == "img_wh" and isinstance(value, (list, tuple)):
         return tuple(int(v) for v in value)
+    if name == "randomized" and not isinstance(value, bool):
+        return bool(value)
     return value
 
 
