@@ -133,6 +133,14 @@ class Trainer:
 
     # ----------------------------------------------------------------- setup
 
+    def _ddp_mesh(self):
+        """Mesh for the articulated DDP steps (per-chip sampling + pmean'd
+        grads, the reference's 7-GPU DDP, README.md:105) — only when params
+        are replicated (no tp) and the mesh actually has >1 data chip."""
+        if self.mesh is not None and self.cfg.n_model_shards == 1:
+            return self.mesh
+        return None
+
     def _init_state(self) -> None:
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
@@ -168,6 +176,7 @@ class Trainer:
                 opacity_loss=cfg.ae_opacity_loss,
                 photometric=cfg.ae_photometric,
                 opacity_lambda=cfg.opacity_lambda,
+                mesh=self._ddp_mesh(),
             )
         else:
             lib_params = self.code_library.init(key, jnp.asarray(0), jnp.asarray(0))
@@ -183,6 +192,7 @@ class Trainer:
                 self.near, self.far, batch_size=cfg.batch_size,
                 randomized=cfg.randomized, lr_fn=self.lr_fn,
                 inner_steps=self._inner_steps,
+                mesh=self._ddp_mesh(),
             )
         if self.mesh is not None:
             params = shard_params(self.mesh, params, tp=cfg.n_model_shards > 1)

@@ -15,10 +15,48 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import Mesh, PartitionSpec as P
 
 from aonerf.ops.math import img2mse, mse2psnr
 from aonerf.train.losses import code_regularization
 from aonerf.train.lr import log_lerp_lr
+
+
+def _data_axis(mesh: Optional[Mesh]) -> Optional[str]:
+    """'data' when the mesh has >1 chip on its data axis, else None.
+
+    The articulated device steps use this to pick between the single-chip
+    body and the DDP body (shard_map + per-chip sampling + pmean'd grads) —
+    the reference's multi-GPU articulated story (run.py:109-111, 7-GPU DDP
+    per README.md:105)."""
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        return "data"
+    return None
+
+
+def _ddp_shard_map(fn: Callable, mesh: Mesh) -> Callable:
+    """shard_map a (state, buffers, base_key) -> (state, metrics) step body
+    over the whole mesh with everything replicated: the per-chip variation
+    comes only from fold_in(key, axis_index('data')) inside the body, and
+    pmean makes every output replicated again."""
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(), P(), P()), out_specs=(P(), P())
+    )
+
+
+def _pvary(tree: Any, axis: str) -> Any:
+    """Mark a replicated pytree as device-varying on ``axis``.
+
+    Needed before value_and_grad inside shard_map: with JAX's VMA tracking,
+    differentiating UNVARYING params against a varying loss auto-inserts a
+    psum over the axis (transpose of the implicit pvary broadcast), and a
+    later pmean on that already-replicated result is identity — i.e. the
+    grads silently become the SUM, not the mean. Casting params to varying
+    first keeps the local grads local so an explicit pmean really averages
+    (verified by the DDP-vs-oracle tests in tests/test_parallel.py)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.pcast(a, axis, to="varying"), tree
+    )
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -308,22 +346,38 @@ def make_autodecoder_device_train_step(
     donate: bool = True,
     lr_fn: Callable = log_lerp_lr,
     inner_steps: int = 1,
+    mesh: Optional[Mesh] = None,
 ) -> Callable:
     """Fully on-device auto-decoder step: multi-config batch sampling
     (sample_multi_batch) + render + losses + Adam fused into ONE compiled
     program; ``inner_steps`` > 1 scan-fuses that many optimizer steps per
     dispatch. step(state, buffers, base_key) -> (state, metrics); ``buffers``
-    from SapienMultiDataset.device_buffers(), uploaded once."""
+    from SapienMultiDataset.device_buffers(), uploaded once (replicated).
+
+    ``mesh`` with >1 chip on its 'data' axis enables data parallelism with
+    the reference's DDP semantics (run.py:109-111; README.md:105 trains the
+    articulated mode on 7 GPUs): each chip samples its OWN random (instance,
+    articulation, view, ``batch_size`` pixels) — the per-chip PRNG key is
+    fold_in(step_key, axis_index('data')) — and gradients are pmean'd, so
+    the effective global batch is n_chips * batch_size. Params must be
+    replicated (no tp on this path)."""
     loss_fn = _autodecoder_loss_fn(
         model, code_library, white_bkgd, near, far, randomized, reg_weight
     )
+    axis = _data_axis(mesh)
 
     def one_step(state: TrainState, buffers, base_key):
         key = jax.random.fold_in(base_key, state.step)
+        if axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         sample_key, render_key = jax.random.split(key)
         batch = sample_multi_batch(buffers, sample_key, batch_size)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (loss0, loss1, reg)), grads = grad_fn(state.params, batch, render_key)
+        diff_params = state.params if axis is None else _pvary(state.params, axis)
+        (loss, (loss0, loss1, reg)), grads = grad_fn(diff_params, batch, render_key)
+        if axis is not None:  # DDP gradient all-reduce (the reference's NCCL)
+            grads = jax.lax.pmean(grads, axis)
+            loss, loss0, loss1, reg = jax.lax.pmean((loss, loss0, loss1, reg), axis)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {
@@ -336,14 +390,17 @@ def make_autodecoder_device_train_step(
         return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
 
     if inner_steps <= 1:
-        return jax.jit(one_step, donate_argnums=(0,) if donate else ())
+        fn = one_step
+    else:
 
-    def multi_step(state, buffers, base_key):
-        def body(carry, _):
-            new_state, metrics = one_step(carry, buffers, base_key)
-            return new_state, metrics
+        def fn(state, buffers, base_key):
+            def body(carry, _):
+                new_state, metrics = one_step(carry, buffers, base_key)
+                return new_state, metrics
 
-        state, metrics = jax.lax.scan(body, state, None, length=inner_steps)
-        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+            state, metrics = jax.lax.scan(body, state, None, length=inner_steps)
+            return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
-    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+    if axis is not None:
+        fn = _ddp_shard_map(fn, mesh)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

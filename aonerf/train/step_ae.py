@@ -10,11 +10,12 @@ is a clipped true-probability BCE, not the reference's active BCEWithLogits
 one — the logits form provably collapses the field (see _OPACITY_LOSSES).
 """
 
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import Mesh
 
 from aonerf.ops.math import mse2psnr
 from aonerf.train.losses import (
@@ -24,7 +25,13 @@ from aonerf.train.losses import (
     opacity_loss_mse,
 )
 from aonerf.train.lr import log_lerp_lr
-from aonerf.train.step import TrainState, sample_multi_batch
+from aonerf.train.step import (
+    TrainState,
+    _data_axis,
+    _ddp_shard_map,
+    _pvary,
+    sample_multi_batch,
+)
 
 # Opacity-loss variants. The WORKING default is "bce_prob" — clipped
 # true-probability BCE (losses.opacity_loss_bce_prob): satisfiable optimum
@@ -137,6 +144,7 @@ def make_ae_device_train_step(
     inner_steps: int = 1,
     opacity_loss: str = "bce_prob",
     photometric: str = "masked",
+    mesh: Optional[Mesh] = None,
 ) -> Callable:
     """Fully on-device auto-encoder step: (instance, articulation, view,
     pixel) sampling AND the source-image gather + [-1,1] normalization happen
@@ -149,20 +157,33 @@ def make_ae_device_train_step(
     (model_ae_art.py:356-431 over sapien_multi.py:250-306) for rectangular
     datasets; the host-batched make_ae_train_step remains the fallback.
     step(state, buffers, base_key) -> (state, metrics); ``buffers`` from
-    SapienMultiDataset.device_buffers(), uploaded once.
+    SapienMultiDataset.device_buffers(), uploaded once (replicated).
+
+    ``mesh`` with >1 chip on 'data' enables DDP exactly as in
+    make_autodecoder_device_train_step: per-chip distinct (instance,
+    articulation, view, pixels) — so each chip ALSO encodes its own source
+    view — and pmean'd grads; global batch = n_chips * batch_size (and
+    n_chips source views per step).
     """
     loss_fn = _ae_loss_fn(
         model, white_bkgd, near, far, randomized, opacity_lambda,
         opacity_loss=opacity_loss, photometric=photometric,
     )
     w, h = img_wh
+    axis = _data_axis(mesh)
 
     def one_step(state: TrainState, buffers, base_key):
         key = jax.random.fold_in(base_key, state.step)
+        if axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         sample_key, render_key = jax.random.split(key)
         batch = sample_multi_batch(buffers, sample_key, batch_size, src_hw=(h, w))
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (l0, l1, ls, lo)), grads = grad_fn(state.params, batch, render_key)
+        diff_params = state.params if axis is None else _pvary(state.params, axis)
+        (loss, (l0, l1, ls, lo)), grads = grad_fn(diff_params, batch, render_key)
+        if axis is not None:  # DDP gradient all-reduce (the reference's NCCL)
+            grads = jax.lax.pmean(grads, axis)
+            loss, l0, l1, ls, lo = jax.lax.pmean((loss, l0, l1, ls, lo), axis)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {
@@ -176,13 +197,16 @@ def make_ae_device_train_step(
         return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
 
     if inner_steps <= 1:
-        return jax.jit(one_step, donate_argnums=(0,) if donate else ())
+        fn = one_step
+    else:
 
-    def multi_step(state, buffers, base_key):
-        def body(carry, _):
-            return one_step(carry, buffers, base_key)
+        def fn(state, buffers, base_key):
+            def body(carry, _):
+                return one_step(carry, buffers, base_key)
 
-        state, metrics = jax.lax.scan(body, state, None, length=inner_steps)
-        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+            state, metrics = jax.lax.scan(body, state, None, length=inner_steps)
+            return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
-    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+    if axis is not None:
+        fn = _ddp_shard_map(fn, mesh)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -1,12 +1,15 @@
 """Multi-device tests on the 8-way virtual CPU mesh: sharded train step
-equivalence with single-device execution, and tp sharding compiles."""
+equivalence with single-device execution, DDP equivalence for the
+articulated modes (per-chip sampling + pmean'd grads vs a host oracle),
+compiled-HLO sharding regression checks, and tp sharding compiles."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import PartitionSpec as P
 
-from aonerf.models import NeRF
+from aonerf.models import ArticulatedNeRF, CodeLibraryArticulated, NeRF
 from aonerf.parallel import (
     batch_sharding,
     make_mesh,
@@ -90,7 +93,32 @@ class TestShardedTraining:
         l1 = jax.tree_util.tree_leaves(state1.params)
         l2 = jax.tree_util.tree_leaves(state2.params)
         for a, b in zip(l1, l2):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+
+    def test_vanilla_step_hlo_sharded(self, devices):
+        """Sharding REGRESSION check: the compiled 8-device vanilla step must
+        contain no all-gather (ray buffers stay sharded; work is not silently
+        replicated) and at least one all-reduce (the psum of grads that the
+        reference's DDP/NCCL does implicitly)."""
+        model = NeRF(num_coarse_samples=4, num_fine_samples=4)
+        buf = _buffers(256)
+        dummy = {k: v[:8] for k, v in buf.items()}
+        params = model.init(jax.random.PRNGKey(0), dummy, False, True, 2.0, 6.0)
+        tx = make_adam(lr_init=1e-3, lr_delay_steps=0)
+        step = make_vanilla_train_step(
+            model, tx, white_bkgd=True, near=2.0, far=6.0, batch_size=64, donate=False
+        )
+        mesh = make_mesh()
+        buf_sh = shard_batch(mesh, buf)
+        params_sh = shard_params(mesh, params)
+        state = create_train_state(params_sh, tx)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        key = jax.device_put(jax.random.PRNGKey(3), replicated_sharding(mesh))
+
+        hlo = step.lower(state, buf_sh, key).compile().as_text()
+        assert hlo.count("all-gather") == 0, "ray buffers were gathered/replicated"
+        assert hlo.count("all-to-all") == 0
+        assert hlo.count("all-reduce") >= 1, "gradient all-reduce missing"
 
     def test_tp_forward_matches(self, devices):
         """MLP-width tensor parallelism (4 data x 2 model) returns the same
@@ -110,3 +138,156 @@ class TestShardedTraining:
         np.testing.assert_allclose(
             np.asarray(out_ref[1][0]), np.asarray(out_tp[1][0]), rtol=1e-4, atol=1e-5
         )
+
+
+def _multi_buffers(h=12, w=16, n_i=2, n_d=2, n_v=2, seed=3):
+    """Tiny rectangular multi-config device buffers (the
+    SapienMultiDataset.device_buffers() schema)."""
+    rng = np.random.default_rng(seed)
+    hw = h * w
+    c2w = np.tile(np.eye(3, 4, dtype=np.float32), (n_i, n_d, n_v, 1, 1))
+    c2w[..., 2, 3] = 4.0
+    dirs = rng.standard_normal((hw, 3)).astype(np.float32)
+    dirs[:, 2] = -np.abs(dirs[:, 2]) - 0.5
+    return {
+        "rgb": jnp.asarray(rng.integers(0, 255, (n_i, n_d, n_v, hw, 3), dtype=np.uint8)),
+        "mask": jnp.asarray(rng.integers(0, 2, (n_i, n_d, n_v, hw)).astype(np.uint8)),
+        "c2w": jnp.asarray(c2w),
+        "directions": jnp.asarray(dirs),
+        "deg": jnp.asarray(np.deg2rad(np.arange(n_d) * 45.0).astype(np.float32)),
+    }
+
+
+class TestArticulatedDDP:
+    """The articulated modes' DDP steps (per-chip distinct sampling + pmean'd
+    grads — the reference's 7-GPU DDP, README.md:105) must equal a
+    single-device oracle that replays every chip's sampling and averages the
+    gradients."""
+
+    def test_autodecoder_ddp_matches_oracle(self, devices):
+        from aonerf.train.step import (
+            TrainState,
+            _autodecoder_loss_fn,
+            make_autodecoder_device_train_step,
+            sample_multi_batch,
+        )
+
+        model = ArticulatedNeRF(num_coarse_samples=4, num_fine_samples=4)
+        lib = CodeLibraryArticulated(n_max_objs=2)
+        buffers = _multi_buffers()
+        batch_size = 16
+
+        lib_params = lib.init(jax.random.PRNGKey(1), jnp.asarray(0), jnp.asarray(0))
+        latents = lib.apply(lib_params, jnp.asarray(0), jnp.asarray(0))
+        latents = {k: jnp.atleast_2d(v) for k, v in latents.items()}
+        dummy = sample_multi_batch(buffers, jax.random.PRNGKey(0), batch_size)
+        model_params = model.init(jax.random.PRNGKey(0), dummy, False, True, 2.0, 6.0, latents)
+        params = {"model": model_params, "codes": lib_params}
+        # SGD, not Adam: Adam's first step is ~sign(g)*lr, which amplifies
+        # reduction-order float noise in near-zero grads into O(lr) param
+        # diffs; SGD keeps the comparison linear in the grads.
+        tx = optax.sgd(1e-2)
+        base_key = jax.random.PRNGKey(7)
+
+        mesh = make_mesh()
+        n_chips = mesh.shape["data"]
+        step = make_autodecoder_device_train_step(
+            model, lib, tx, white_bkgd=True, near=2.0, far=6.0,
+            batch_size=batch_size, donate=False, mesh=mesh,
+        )
+        state = create_train_state(params, tx)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        buf_sh = jax.device_put(buffers, replicated_sharding(mesh))
+        state_ddp, m_ddp = step(state, buf_sh, base_key)
+
+        # no silent replication: the compiled HLO must communicate only via
+        # all-reduce (pmean of grads), never all-gather
+        hlo = step.lower(state, buf_sh, base_key).compile().as_text()
+        assert hlo.count("all-gather") == 0
+        assert hlo.count("all-reduce") >= 1
+
+        # single-device oracle: replay each chip's fold_in(key, chip) sampling
+        loss_fn = _autodecoder_loss_fn(model, lib, True, 2.0, 6.0, True, 1e-4)
+        key = jax.random.fold_in(base_key, 0)  # state.step == 0
+        losses, grads_acc = [], None
+        for d in range(n_chips):
+            kd = jax.random.fold_in(key, d)
+            sample_key, render_key = jax.random.split(kd)
+            batch = sample_multi_batch(buffers, sample_key, batch_size)
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, render_key
+            )
+            losses.append(float(loss))
+            grads_acc = grads if grads_acc is None else jax.tree_util.tree_map(
+                jnp.add, grads_acc, grads
+            )
+        grads_mean = jax.tree_util.tree_map(lambda g: g / n_chips, grads_acc)
+        opt_state = tx.init(params)
+        updates, _ = tx.update(grads_mean, opt_state, params)
+        want_params = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(float(m_ddp["loss"]), np.mean(losses), rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state_ddp.params),
+            jax.tree_util.tree_leaves(want_params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+
+    def test_ae_ddp_matches_oracle(self, devices):
+        from aonerf.models.ae import AutoEncoderArticulatedNeRF
+        from aonerf.train.step import sample_multi_batch
+        from aonerf.train.step_ae import _ae_loss_fn, make_ae_device_train_step
+
+        h, w = 12, 16
+        model = AutoEncoderArticulatedNeRF(num_coarse_samples=4, num_fine_samples=4)
+        buffers = _multi_buffers(h=h, w=w)
+        batch_size = 8
+
+        dummy = sample_multi_batch(buffers, jax.random.PRNGKey(0), batch_size, src_hw=(h, w))
+        params = model.init(
+            jax.random.PRNGKey(0), dummy, dummy["src_imgs"][None], dummy["deg"],
+            False, True, 2.0, 6.0,
+        )
+        tx = optax.sgd(1e-2)  # see autodecoder test: linear in the grads
+        base_key = jax.random.PRNGKey(11)
+
+        mesh = make_mesh()
+        n_chips = mesh.shape["data"]
+        step = make_ae_device_train_step(
+            model, tx, white_bkgd=True, near=2.0, far=6.0, img_wh=(w, h),
+            batch_size=batch_size, donate=False, mesh=mesh,
+        )
+        state = create_train_state(params, tx)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        buf_sh = jax.device_put(buffers, replicated_sharding(mesh))
+        state_ddp, m_ddp = step(state, buf_sh, base_key)
+
+        loss_fn = _ae_loss_fn(model, True, 2.0, 6.0, True, 0.5)
+        key = jax.random.fold_in(base_key, 0)
+        losses, grads_acc = [], None
+        for d in range(n_chips):
+            kd = jax.random.fold_in(key, d)
+            sample_key, render_key = jax.random.split(kd)
+            batch = sample_multi_batch(buffers, sample_key, batch_size, src_hw=(h, w))
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, render_key
+            )
+            losses.append(float(loss))
+            grads_acc = grads if grads_acc is None else jax.tree_util.tree_map(
+                jnp.add, grads_acc, grads
+            )
+        grads_mean = jax.tree_util.tree_map(lambda g: g / n_chips, grads_acc)
+        opt_state = tx.init(params)
+        updates, _ = tx.update(grads_mean, opt_state, params)
+        want_params = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(float(m_ddp["loss"]), np.mean(losses), rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state_ddp.params),
+            jax.tree_util.tree_leaves(want_params),
+        ):
+            # atol 5e-5: grads through InstanceNorm + one-hot CDF pick up more
+            # reduction-order noise than the autodecoder's; the failure modes
+            # this test guards against (psum-instead-of-pmean = 8x grads,
+            # wrong per-chip sampling) are orders of magnitude larger
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5)
