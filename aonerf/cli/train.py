@@ -17,6 +17,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=str, default=None, help="JSON config file")
     p.add_argument("--run_eval", action="store_true", default=None)
+    p.add_argument("--run_optimize", action="store_true", default=None,
+                   help="test-time latent-code optimization for an unseen "
+                        "instance (auto-decoder; reference is_optimize)")
     p.add_argument("--max_steps", type=int, default=None)
     # accept any config field as an override flag
     import dataclasses
@@ -32,7 +35,7 @@ def main(argv=None):
     args = parse_args(argv)
     overrides = {}
     for k, v in vars(args).items():
-        if k in ("config", "max_steps") or v is None:
+        if k in ("config", "max_steps", "run_optimize") or v is None:
             continue
         try:
             overrides[k] = json.loads(v) if isinstance(v, str) else v
@@ -42,7 +45,10 @@ def main(argv=None):
 
     trainer = Trainer(cfg)
     try:
-        if cfg.run_eval:
+        if args.run_optimize:
+            _, history = trainer.optimize_instance_codes()
+            print(json.dumps({"psnr1": history["psnr1"]}))
+        elif cfg.run_eval:
             stats = trainer.test()
             print(json.dumps(stats))
         else:

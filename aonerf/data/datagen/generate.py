@@ -31,17 +31,17 @@ def have_sapien() -> bool:
 def generate_with_sapien(cfg: dict) -> str:
     """SAPIEN-backed generation (requires the simulator; mirrors
     data_gen.py:34-87: engine + offscreen renderer, kinematic URDF, 35 deg
-    fovy camera, random sphere poses, per-frame model matrix)."""
-    import numpy as np
-    import sapien.core as sapien_core
+    fovy camera, random sphere poses, per-frame model matrix). Dispatches on
+    ``mode``: single (default), multi (needs ``urdf_files``), replay (needs
+    ``render_pose_path``). See aonerf.data.datagen.sapien_backend."""
+    from aonerf.data.datagen import sapien_backend as sb
 
-    from aonerf.data.synthetic import FOVY_DEG, random_pose_on_sphere
-
-    raise NotImplementedError(
-        "SAPIEN is importable but this environment has no URDF assets; "
-        "point 'urdf_file' at a PartNet-Mobility object and extend here "
-        "following datagen/data_gen.py's camera/pose conventions."
-    )
+    mode = cfg.get("mode", "single")
+    if mode == "replay":
+        return sb.replay_sapien_scene(cfg)
+    if mode == "multi":
+        return sb.generate_sapien_multi(cfg)
+    return sb.generate_sapien_scene(cfg)
 
 
 def main(argv=None) -> None:
@@ -51,8 +51,9 @@ def main(argv=None) -> None:
     with open(args.config) as f:
         cfg = json.load(f)
 
-    if have_sapien() and cfg.get("urdf_file"):
+    if have_sapien() and (cfg.get("urdf_file") or cfg.get("urdf_files")):
         generate_with_sapien(cfg)
+        print(json.dumps({"out_dir": cfg["out_dir"], "backend": "sapien"}))
         return
 
     from aonerf.data.synthetic import (

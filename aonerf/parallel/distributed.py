@@ -66,12 +66,22 @@ def local_shard_bounds(n: int) -> tuple:
 def gather_images(
     local_rows: np.ndarray, total_rows: int
 ) -> np.ndarray:
-    """All-gather per-ray eval outputs across processes and trim padding —
-    the reference's alter_gather_cat (interface.py:31-51). Uses
-    multihost_utils on >1 process; identity on one."""
+    """All-gather per-row eval outputs across processes and trim padding —
+    the reference's alter_gather_cat (interface.py:31-51). ``local_rows`` is
+    this process's contiguous shard (rows [start, stop) from
+    local_shard_bounds(total_rows)); ragged last shards are zero-padded to
+    the common per-process count before the gather, and the reassembled
+    array is trimmed to ``total_rows``. Identity (plus trim) on one
+    process."""
+    local_rows = np.asarray(local_rows)
     if jax.process_count() == 1:
-        return np.asarray(local_rows)[:total_rows]
+        return local_rows[:total_rows]
     from jax.experimental import multihost_utils
 
+    per = -(-total_rows // jax.process_count())
+    if local_rows.shape[0] < per:  # ragged last shard: pad for equal shapes
+        pad = np.zeros((per - local_rows.shape[0], *local_rows.shape[1:]),
+                       local_rows.dtype)
+        local_rows = np.concatenate([local_rows, pad], axis=0)
     gathered = multihost_utils.process_allgather(local_rows)
     return np.asarray(gathered).reshape(-1, *local_rows.shape[1:])[:total_rows]

@@ -28,7 +28,6 @@ from aonerf.models import ArticulatedNeRF, CodeLibraryArticulated, NeRF
 from aonerf.parallel import make_mesh, replicated_sharding, shard_batch, shard_params
 from aonerf.train.step import (
     create_train_state,
-    make_adam,
     make_autodecoder_device_train_step,
     make_vanilla_train_step,
 )
@@ -50,8 +49,21 @@ class Trainer:
             jax.config.update("jax_platforms", cfg.platform)
         if cfg.debug_nans:  # the reference's detect_anomaly (run.py:104)
             jax.config.update("jax_debug_nans", True)
+        # Multi-host: join the jax.distributed cluster when one is configured
+        # (env-driven on TPU pods; no-op single-process). After this the mesh
+        # below spans every chip of every host and XLA's grad all-reduce
+        # rides ICI within hosts + DCN across them (SURVEY.md §5.8).
+        from aonerf.parallel.distributed import initialize, is_main_process
+
+        initialize()
+        self._is_main = is_main_process()
         self.logger = MetricLogger(self.run_dir)
-        self.ckpt = CheckpointManager(os.path.join(self.run_dir, "ckpts"), keep=cfg.ckpt_keep)
+        # launcher-variant checkpoint cadences (reference run.py:38-61):
+        # is_optimize keeps every ckpt, both variants save every "epoch"
+        if cfg.is_optimize or cfg.finetune_lpips:
+            cfg.ckpt_every_steps = cfg.steps_per_epoch
+        ckpt_keep = None if cfg.is_optimize else cfg.ckpt_keep  # None = all
+        self.ckpt = CheckpointManager(os.path.join(self.run_dir, "ckpts"), keep=ckpt_keep)
         self.mesh = make_mesh(n_model=cfg.n_model_shards) if use_mesh else None
         self.rng = np.random.default_rng(cfg.seed)
         self.base_key = jax.random.PRNGKey(cfg.seed)
@@ -68,26 +80,13 @@ class Trainer:
             compute_dtype=_compute_dtype(cfg),
         )
 
-        self.tx = make_adam(
-            lr_init=cfg.lr_init,
-            lr_final=cfg.lr_final,
-            max_steps=cfg.run_max_steps,
-            lr_delay_steps=cfg.lr_delay_steps,
-            lr_delay_mult=cfg.lr_delay_mult,
-            grad_clip=cfg.grad_clip or None,
-        )
-        from functools import partial
+        # Optimizer/scheduler via the factory (reference opt.py:134-162,
+        # utils/__init__.py:32-111): default is the log-lerp Adam every
+        # reference system runs; `optimizer`/`lr_scheduler`/`latent_lr`
+        # config fields select the others.
+        from aonerf.train.optim import build_optimizer_from_config
 
-        from aonerf.train.lr import log_lerp_lr
-
-        self.lr_fn = partial(
-            log_lerp_lr,
-            lr_init=cfg.lr_init,
-            lr_final=cfg.lr_final,
-            max_steps=cfg.run_max_steps,
-            lr_delay_steps=cfg.lr_delay_steps,
-            lr_delay_mult=cfg.lr_delay_mult,
-        )
+        self.tx, self.lr_fn = build_optimizer_from_config(cfg)
 
         if cfg.exp_type == "vanilla":
             self.model = NeRF(**mlp_kwargs)
@@ -177,6 +176,7 @@ class Trainer:
                 photometric=cfg.ae_photometric,
                 opacity_lambda=cfg.opacity_lambda,
                 mesh=self._ddp_mesh(),
+                views_per_step=cfg.ae_views_per_step,
             )
         else:
             lib_params = self.code_library.init(key, jnp.asarray(0), jnp.asarray(0))
@@ -302,13 +302,16 @@ class Trainer:
 
             if crossed(100) or prev == start:
                 last = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                self.logger.log(step, last, prefix="train")
+                if self._is_main:  # rank-0 gate (model_autodecoder.py:575-580)
+                    self.logger.log(step, last, prefix="train")
             if crossed(cfg.val_every_steps):
                 val = self.validate()
-                self.logger.log(step, val, prefix="val")
+                if self._is_main:
+                    self.logger.log(step, val, prefix="val")
                 last.update({f"val_{k}": v for k, v in val.items()})
             if crossed(cfg.ckpt_every_steps) or step >= total:
-                self.ckpt.save(step, jax.device_get(self.state), last.get("val_psnr"))
+                if self._is_main:  # params are replicated; rank 0 writes
+                    self.ckpt.save(step, jax.device_get(self.state), last.get("val_psnr"))
             if profiling and step - start >= cfg.profile_steps:
                 jax.block_until_ready(jax.tree_util.tree_leaves(self.state))
                 jax.profiler.stop_trace()
@@ -391,7 +394,7 @@ class Trainer:
                     np.asarray(x) for x in self._renderer(self.state.params, rays)
                 )
                 psnrs.append(float(psnr_image(jnp.asarray(rgb), jnp.asarray(s.target))))
-                if i == 0:
+                if i == 0 and self._is_main:
                     self._save_val_grid(s.target, rgb, depth, acc)
         else:
             n = n_images or 1
@@ -415,31 +418,47 @@ class Trainer:
 
     def test(self) -> Dict[str, Dict[str, float]]:
         """Full test render + metrics + results.json (reference
-        test_epoch_end, model.py:459-507)."""
+        test_epoch_end, model.py:459-507). Rendering is sharded across
+        PROCESSES (each host renders its contiguous slice of the test
+        images) and collated with gather_images — the reference's
+        DDP-eval alter_gather_cat (interface.py:31-51), at image rather
+        than ray granularity."""
+        from aonerf.parallel.distributed import gather_images, local_shard_bounds
+
         cfg = self.cfg
         w, h = cfg.img_wh
-        rgbs, targets, masks = [], [], []
-        if cfg.exp_type == "vanilla":
-            for i in range(self.dataset.num_images):
+        n_images = self.dataset.num_images if cfg.exp_type == "vanilla" else 19
+        start, stop = local_shard_bounds(n_images)
+
+        local_rgbs, targets, masks = [], [], []
+        for i in range(n_images):
+            if cfg.exp_type == "vanilla":
                 s = self.dataset.get_image(i)
-                rays = {
-                    "rays_o": jnp.asarray(s.rays_o),
-                    "rays_d": jnp.asarray(s.rays_d),
-                    "viewdirs": jnp.asarray(s.viewdirs),
-                }
-                rgb = np.asarray(self._renderer(self.state.params, rays)[0])
-                rgbs.append(rgb.reshape(h, w, 3))
                 targets.append(s.target.reshape(h, w, 3))
                 masks.append(s.instance_mask.reshape(h, w))
-        else:
-            for pose_idx in range(19):  # interpolated articulation sweep
-                img = self.dataset.get_test_image(0, pose_idx)
-                rays = {k: jnp.asarray(img[k]) for k in ("rays_o", "rays_d", "viewdirs")}
-                render_params, latents = self._render_setup(img, is_test=True)
-                rgb = np.asarray(self._renderer(render_params, rays, latents)[0])
-                rgbs.append(rgb.reshape(h, w, 3))
+                if start <= i < stop:
+                    rays = {
+                        "rays_o": jnp.asarray(s.rays_o),
+                        "rays_d": jnp.asarray(s.rays_d),
+                        "viewdirs": jnp.asarray(s.viewdirs),
+                    }
+                    rgb = np.asarray(self._renderer(self.state.params, rays)[0])
+                    local_rgbs.append(rgb.reshape(h, w, 3))
+            else:  # interpolated articulation sweep
+                img = self.dataset.get_test_image(0, i)
                 targets.append(img["target"].reshape(h, w, 3))
                 masks.append(img["instance_mask"].reshape(h, w))
+                if start <= i < stop:
+                    rays = {k: jnp.asarray(img[k]) for k in ("rays_o", "rays_d", "viewdirs")}
+                    render_params, latents = self._render_setup(img, is_test=True)
+                    rgb = np.asarray(self._renderer(render_params, rays, latents)[0])
+                    local_rgbs.append(rgb.reshape(h, w, 3))
+        local = (
+            np.stack(local_rgbs)
+            if local_rgbs
+            else np.zeros((0, h, w, 3), np.float32)
+        )
+        rgbs = list(gather_images(local, n_images))
 
         psnr = summarize_metric(
             [psnr_image(jnp.asarray(a), jnp.asarray(b)) for a, b in zip(rgbs, targets)]
@@ -469,21 +488,72 @@ class Trainer:
         else:
             lpips = {"test": float("nan")}
 
-        image_dir = os.path.join(self.run_dir, cfg.render_name)
-        store_image(image_dir, rgbs, "image")
-        # video alongside the jpg sequence (interface.py:198-202): mp4 when an
-        # ffmpeg backend exists, animated GIF (pure PIL) otherwise
-        from aonerf.eval.io import store_gif, store_video
+        if self._is_main:  # rank-0 writes (reference model.py:497-505)
+            image_dir = os.path.join(self.run_dir, cfg.render_name)
+            store_image(image_dir, rgbs, "image")
+            # video alongside the jpg sequence (interface.py:198-202): mp4
+            # when an ffmpeg backend exists, animated GIF (pure PIL) otherwise
+            from aonerf.eval.io import store_gif, store_video
 
-        try:
-            store_video(image_dir, rgbs)
-        except RuntimeError:
-            store_gif(image_dir, rgbs)
-        write_stats(
-            os.path.join(self.run_dir, "results.json"),
-            psnr=psnr, ssim=ssim, lpips=lpips, psnr_obj=psnr_obj,
-        )
+            try:
+                store_video(image_dir, rgbs)
+            except RuntimeError:
+                store_gif(image_dir, rgbs)
+            write_stats(
+                os.path.join(self.run_dir, "results.json"),
+                psnr=psnr, ssim=ssim, lpips=lpips, psnr_obj=psnr_obj,
+            )
         return {"psnr": psnr, "ssim": ssim, "lpips": lpips, "psnr_obj": psnr_obj}
+
+    # ------------------------------------------- test-time code optimization
+
+    def optimize_instance_codes(
+        self,
+        instance_idx: Optional[int] = None,
+        n_steps: Optional[int] = None,
+        lr: Optional[float] = None,
+        batch_size: Optional[int] = None,
+    ):
+        """Fit fresh (shape, appearance) codes for one dataset instance as
+        if it were unseen — the auto-decoder inversion the reference's
+        ``is_optimize`` launcher variant gestures at (run.py:38-61,
+        opt.py:117). The trained field and articulation table are frozen.
+        Returns (codes, history); history['psnr1'] must climb. The codes are
+        also written to {run_dir}/optimized_codes.npz (rank 0)."""
+        if self.cfg.exp_type != "vanilla_autodecoder":
+            raise ValueError("code optimization requires the auto-decoder mode")
+        from aonerf.train.optimize import optimize_codes
+
+        cfg = self.cfg
+        instance_idx = cfg.optimize_instance if instance_idx is None else instance_idx
+        buffers = {k: jnp.asarray(v) for k, v in self.dataset.device_buffers().items()}
+        for k in ("rgb", "mask", "c2w"):  # restrict to the target instance
+            buffers[k] = buffers[k][instance_idx : instance_idx + 1]
+        art_table = self.state.params["codes"]["params"][
+            "embedding_instance_articulation"
+        ]["embedding"]
+        codes, history = optimize_codes(
+            self.model,
+            self.state.params["model"],
+            art_table,
+            buffers,
+            jax.random.fold_in(self.base_key, 17),
+            n_steps=n_steps or cfg.optimize_steps,
+            lr=lr or cfg.optimize_lr,
+            batch_size=batch_size or cfg.batch_size,
+            obj_code_dim=cfg.obj_code_dim,
+            white_bkgd=cfg.white_back,
+            near=self.near,
+            far=self.far,
+        )
+        if self._is_main:
+            np.savez(
+                os.path.join(self.run_dir, "optimized_codes.npz"),
+                density=np.asarray(codes["density"]),
+                color=np.asarray(codes["color"]),
+                history_psnr1=np.asarray(history["psnr1"]),
+            )
+        return codes, history
 
     def close(self) -> None:
         self.logger.close()

@@ -13,12 +13,66 @@ Reference parity: utils/__init__.py:32-111 + utils/warmup_scheduler.py:
     as an optax.multi_transform over the {'model', 'codes'} param split
 """
 
-from typing import Any, Callable, Dict, Optional, Sequence
+from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import optax
 
 _EPS = 1e-8
+
+
+class FlatLookaheadState(NamedTuple):
+    inner: Any
+    slow: Any
+    count: jnp.ndarray
+
+
+def flat_lookahead(
+    inner: optax.GradientTransformation,
+    sync_period: int = 6,
+    slow_step_size: float = 0.5,
+) -> optax.GradientTransformation:
+    """Lookahead that keeps the slow weights in the OPTIMIZER STATE instead
+    of wrapping the params in fast/slow copies (optax.lookahead requires
+    ``LookaheadParams``, which breaks a generic TrainState). Semantics match
+    torch_optimizer.Ranger's wrapper: fast weights take ``inner`` steps;
+    every ``sync_period`` steps slow += alpha*(fast-slow) and fast resets to
+    slow."""
+
+    def init(params):
+        # materialize a COPY of the params: aliasing them would make the
+        # train state donate the same buffer twice (params + slow) under
+        # jit(donate_argnums)
+        slow = jax.tree_util.tree_map(jnp.array, params)
+        return FlatLookaheadState(
+            inner=inner.init(params), slow=slow, count=jnp.zeros((), jnp.int32)
+        )
+
+    def update(updates, state, params):
+        if params is None:
+            raise ValueError("flat_lookahead requires params")
+        u, inner_state = inner.update(updates, state.inner, params)
+        fast = optax.apply_updates(params, u)
+        count = state.count + 1
+        sync = (count % sync_period) == 0
+        slow_new = jax.tree_util.tree_map(
+            lambda s, f: s + slow_step_size * (f - s), state.slow, fast
+        )
+        new_params = jax.tree_util.tree_map(
+            lambda sn, f: jnp.where(sync, sn, f), slow_new, fast
+        )
+        new_slow = jax.tree_util.tree_map(
+            lambda sn, s: jnp.where(sync, sn, s), slow_new, state.slow
+        )
+        final_updates = jax.tree_util.tree_map(
+            lambda n, p: n - p, new_params, params
+        )
+        return final_updates, FlatLookaheadState(
+            inner=inner_state, slow=new_slow, count=count
+        )
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_schedule(
@@ -107,13 +161,87 @@ def make_optimizer(
             optax.radam(learning_rate, eps=_EPS),
         )
     if optimizer == "ranger":
-        # Ranger = RAdam + Lookahead (torch_optimizer.Ranger)
+        # Ranger = RAdam + Lookahead (torch_optimizer.Ranger); flat_lookahead
+        # keeps slow weights in the opt state so plain param pytrees work
         inner = optax.chain(
             optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
             optax.radam(learning_rate, eps=_EPS),
         )
-        return optax.lookahead(inner, sync_period=6, slow_step_size=0.5)
+        return flat_lookahead(inner, sync_period=6, slow_step_size=0.5)
     raise ValueError(f"optimizer {optimizer!r} not recognized")
+
+
+def build_optimizer_from_config(cfg) -> tuple:
+    """(tx, lr_fn) for a Config (duck-typed: any object with the optimizer
+    fields). Routes the reference's optimizer/scheduler flags
+    (opt.py:134-162) to the factories above:
+
+      optimizer == "adam" and lr_scheduler is None (default)
+        -> Adam with the reference systems' manual log-lerp + sin-delay
+           schedule (model.py:391-414) — what every reference system runs
+      anything else
+        -> make_optimizer(optimizer) with make_schedule(lr_scheduler or
+           "poly") and the gradual-warmup wrapper (skipped for radam/ranger,
+           as the reference does, run get_optimizer/get_scheduler)
+
+    ``grad_clip`` > 0 prepends clip_by_global_norm either way. ``latent_lr``
+    (autodecoder param trees shaped {'model','codes'}) splits off an AdamW
+    for the code tables at that lr."""
+    from functools import partial
+
+    from aonerf.train.lr import log_lerp_lr
+
+    if cfg.optimizer == "adam" and cfg.lr_scheduler is None:
+        from aonerf.train.step import make_adam
+
+        lr_fn = partial(
+            log_lerp_lr,
+            lr_init=cfg.lr_init,
+            lr_final=cfg.lr_final,
+            max_steps=cfg.run_max_steps,
+            lr_delay_steps=cfg.lr_delay_steps,
+            lr_delay_mult=cfg.lr_delay_mult,
+        )
+        tx = make_adam(
+            lr_init=cfg.lr_init,
+            lr_final=cfg.lr_final,
+            max_steps=cfg.run_max_steps,
+            lr_delay_steps=cfg.lr_delay_steps,
+            lr_delay_mult=cfg.lr_delay_mult,
+            grad_clip=cfg.grad_clip or None,
+        )
+    else:
+        schedule = make_schedule(
+            cfg.lr_scheduler or "poly",
+            lr=cfg.lr_init,
+            num_epochs=cfg.num_epochs,
+            decay_step=cfg.decay_step,
+            decay_gamma=cfg.decay_gamma,
+            poly_exp=cfg.poly_exp,
+            steps_per_epoch=cfg.steps_per_epoch,
+        )
+        if cfg.optimizer not in ("radam", "ranger"):  # reference skip rule
+            schedule = with_warmup(
+                schedule,
+                lr=cfg.lr_init,
+                warmup_multiplier=cfg.warmup_multiplier,
+                warmup_epochs=cfg.warmup_epochs,
+                steps_per_epoch=cfg.steps_per_epoch,
+            )
+        lr_fn = schedule
+        tx = make_optimizer(
+            cfg.optimizer,
+            learning_rate=schedule,
+            momentum=cfg.momentum,
+            weight_decay=cfg.weight_decay,
+        )
+        if cfg.grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+
+    if cfg.latent_lr is not None and getattr(cfg, "exp_type", "") == "vanilla_autodecoder":
+        # only the autodecoder has the {'model','codes'} split this rides on
+        tx = make_optimizer_with_latent(tx, latent_lr=cfg.latent_lr)
+    return tx, lr_fn
 
 
 def make_optimizer_with_latent(

@@ -268,6 +268,39 @@ def sample_multi_batch(
     return batch
 
 
+def sample_multi_batch_multiview(
+    buffers: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    batch_size: int,
+    n_views: int,
+    src_hw: Tuple[int, int],
+) -> Dict[str, jnp.ndarray]:
+    """``n_views`` independent (instance, articulation, view) draws, each
+    contributing ``batch_size // n_views`` pixel rays, concatenated GROUPED
+    BY VIEW (so (V, C) per-view latents broadcast onto the ray axis via
+    models.articulated._broadcast_latent). Emits:
+      src_imgs (V, 3, h, w), deg (V,), instance_id/articulation_id (V,),
+      ray fields (V * per_view, ...).
+    The auto-encoder uses this to amortize its ResNet encode over several
+    source views per step (the reference's multi-view aggregation surface,
+    resnet_encoder.py:428-446, turned into a throughput lever)."""
+    per_view = batch_size // n_views
+    keys = jax.random.split(key, n_views)
+    stacked = jax.vmap(
+        lambda k: sample_multi_batch(buffers, k, per_view, src_hw=src_hw)
+    )(keys)
+    out = {
+        k: stacked[k].reshape(-1, *stacked[k].shape[2:])
+        for k in ("rays_o", "rays_d", "viewdirs", "target")
+    }
+    out["instance_mask"] = stacked["instance_mask"].reshape(-1)
+    out["src_imgs"] = stacked["src_imgs"]  # (V, 3, h, w)
+    out["deg"] = stacked["deg"]  # (V,)
+    out["instance_id"] = stacked["instance_id"]
+    out["articulation_id"] = stacked["articulation_id"]
+    return out
+
+
 def _autodecoder_loss_fn(
     model, code_library, white_bkgd, near, far, randomized, reg_weight
 ) -> Callable:

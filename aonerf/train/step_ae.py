@@ -31,6 +31,7 @@ from aonerf.train.step import (
     _ddp_shard_map,
     _pvary,
     sample_multi_batch,
+    sample_multi_batch_multiview,
 )
 
 # Opacity-loss variants. The WORKING default is "bce_prob" — clipped
@@ -64,10 +65,13 @@ def _ae_loss_fn(
     opacity_fn = _OPACITY_LOSSES[opacity_loss]
 
     def loss_fn(params, batch, render_key):
+        src = batch["src_imgs"]
+        if src.ndim == 3:  # single view (3, H, W) -> batch of one
+            src = src[None]
         levels, latents, pred_state = model.apply(
             params,
             batch,
-            batch["src_imgs"][None],  # (1, 3, H, W)
+            src,  # (V, 3, H, W); V > 1 = multi-view batched encode
             batch["deg"],
             randomized,
             white_bkgd,
@@ -82,7 +86,9 @@ def _ae_loss_fn(
         else:  # "full": all pixels (targets are already white-composited)
             loss0 = jnp.mean((levels[0][0] - batch["target"]) ** 2)
             loss1 = jnp.mean((levels[1][0] - batch["target"]) ** 2)
-        loss_state = jnp.mean((pred_state.reshape(()) - batch["deg"]) ** 2)
+        loss_state = jnp.mean(
+            (pred_state.reshape(-1) - jnp.atleast_1d(batch["deg"])) ** 2
+        )
         loss_op = opacity_fn(
             [levels[0][1], levels[1][1]], mask, opacity_lambda=opacity_lambda
         )
@@ -145,6 +151,7 @@ def make_ae_device_train_step(
     opacity_loss: str = "bce_prob",
     photometric: str = "masked",
     mesh: Optional[Mesh] = None,
+    views_per_step: int = 1,
 ) -> Callable:
     """Fully on-device auto-encoder step: (instance, articulation, view,
     pixel) sampling AND the source-image gather + [-1,1] normalization happen
@@ -152,6 +159,12 @@ def make_ae_device_train_step(
     including the ResNet encode of the sampled view — needs zero host work or
     transfer. ``inner_steps`` > 1 scan-fuses that many optimizer steps per
     dispatch, exactly like the vanilla/autodecoder multi-steps.
+
+    ``views_per_step`` > 1 samples that many independent (instance,
+    articulation, view) draws per step and batches their ResNet encodes into
+    one (V, 3, H, W) forward, each view conditioning its own batch_size/V
+    slice of the rays (sample_multi_batch_multiview) — amortizing the
+    encoder (the AE throughput bottleneck, RESULTS.md) over V views.
 
     Replaces the reference's host DataLoader + Lightning step pair
     (model_ae_art.py:356-431 over sapien_multi.py:250-306) for rectangular
@@ -177,7 +190,12 @@ def make_ae_device_train_step(
         if axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         sample_key, render_key = jax.random.split(key)
-        batch = sample_multi_batch(buffers, sample_key, batch_size, src_hw=(h, w))
+        if views_per_step > 1:
+            batch = sample_multi_batch_multiview(
+                buffers, sample_key, batch_size, views_per_step, src_hw=(h, w)
+            )
+        else:
+            batch = sample_multi_batch(buffers, sample_key, batch_size, src_hw=(h, w))
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         diff_params = state.params if axis is None else _pvary(state.params, axis)
         (loss, (l0, l1, ls, lo)), grads = grad_fn(diff_params, batch, render_key)

@@ -61,6 +61,26 @@ class Config:
     lr_delay_steps: int = 2500
     lr_delay_mult: float = 0.01
     run_max_steps: int = 100_000
+    # Optimizer factory (reference opt.py:134-162 + utils/__init__.py:32-111,
+    # routed through aonerf/train/optim.py). "adam" (default) = plain Adam
+    # with the reference systems' manual log-lerp schedule (model.py:391-414)
+    # — exactly the behavior all reference systems actually run. Other values
+    # (sgd | radam | ranger), or "adam" with ``lr_scheduler`` set (= the
+    # reference's AdamW), use make_optimizer with make_schedule.
+    optimizer: str = "adam"
+    # None = the log-lerp schedule above; steplr | cosine | poly select the
+    # reference's epoch-granular schedulers (utils/__init__.py:71-111)
+    lr_scheduler: Optional[str] = None
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    decay_step: Tuple[int, ...] = (20,)
+    decay_gamma: float = 0.1
+    poly_exp: float = 0.99
+    warmup_multiplier: float = 1.0
+    warmup_epochs: int = 0
+    # separate AdamW lr for the code tables (reference --latent_lr,
+    # opt.py:146, get_optimizer_latent); None = one optimizer for everything
+    latent_lr: Optional[float] = None
     # global-norm gradient clip; 0 = off (reference parity). bf16 compute
     # diverges mid-run without it — use 1.0 with compute_dtype="bf16".
     grad_clip: float = 0.0
@@ -74,6 +94,18 @@ class Config:
     # checkpointing / eval cadence
     ckpt_keep: int = 5
     ckpt_every_steps: int = 2000
+    # launcher variants (reference run.py:38-61): both flip the checkpoint
+    # cadence to every "epoch" (steps_per_epoch steps); is_optimize
+    # additionally keeps EVERY checkpoint (save_top_k=-1). is_optimize also
+    # enables the test-time latent-code optimization entry point
+    # (cli --run_optimize / Trainer.optimize_instance_codes).
+    is_optimize: bool = False
+    finetune_lpips: bool = False
+    # test-time code optimization (train/optimize.py): which dataset
+    # instance to treat as unseen, and the inversion hyperparameters
+    optimize_instance: int = 0
+    optimize_steps: int = 500
+    optimize_lr: float = 1.0e-2
     val_every_steps: int = 1000
     limit_val_batches: int = 5
     ckpt_path: Optional[str] = None
@@ -89,6 +121,10 @@ class Config:
     # every lr tried. The AE supervises tail-free opacity so softplus's
     # acc==1 pinning does not matter (see models/ae.py, RESULTS.md).
     ae_sigma_activation: str = "softplus"
+    # source views per fused AE step (>1 batches the ResNet encodes and
+    # conditions batch_size/V ray slices per view — the encoder-throughput
+    # lever; see train/step_ae.py views_per_step)
+    ae_views_per_step: int = 1
 
     # parallelism
     n_model_shards: int = 1
@@ -125,6 +161,8 @@ _ALIASES = {
 
 def _coerce(name: str, value: Any) -> Any:
     if name == "img_wh" and isinstance(value, (list, tuple)):
+        return tuple(int(v) for v in value)
+    if name == "decay_step" and isinstance(value, (list, tuple)):
         return tuple(int(v) for v in value)
     if name == "randomized" and not isinstance(value, bool):
         return bool(value)

@@ -126,7 +126,11 @@ def main() -> None:
         with open(baseline_path) as f:
             baseline = json.load(f).get("rays_per_sec")
     vs_baseline = rays_per_sec / baseline if baseline else 1.0
-    if not args.no_update_baseline and (baseline is None or rays_per_sec > baseline):
+    # Ratchet the recorded best only on improvements beyond run-to-run noise
+    # (~0.5% measured): noise-level ratcheting pins vs_baseline at 1.0 and
+    # slowly masks real regressions.
+    improved = baseline is None or rays_per_sec > baseline * 1.005
+    if not args.no_update_baseline and improved:
         with open(baseline_path, "w") as f:
             json.dump(
                 {"rays_per_sec": rays_per_sec, "dtype": args.dtype,

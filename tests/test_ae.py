@@ -184,3 +184,165 @@ class TestSpatialHeads:
         params = enc.init(jax.random.PRNGKey(0), x[:, 0])
         out = enc.apply(params, x)
         assert out["density"].shape == (1, 128, 16, 16)
+
+
+class TestTorchWeightGraft:
+    """init_from_torch_state_dict with a SYNTHETIC torch-layout state dict
+    (no torch needed): every torchvision ResNet34 conv key must be consumed,
+    transposed OIHW->HWIO, and grafted into the shared stages AND each
+    head's private layer4 copy (reference resnet_encoder.py:85,311)."""
+
+    @staticmethod
+    def _fake_resnet34_state_dict():
+        """All conv weights of torchvision resnet34, each filled with a
+        unique value so destination leaves identify their source."""
+        blocks = (3, 4, 6, 3)
+        widths = (64, 128, 256, 512)
+        sd = {}
+        val = [1.0]
+
+        def add(key, shape):
+            sd[key] = np.full(shape, val[0], np.float32)
+            val[0] += 1.0
+
+        add("conv1.weight", (64, 3, 7, 7))
+        in_w = 64
+        for si, (n, w) in enumerate(zip(blocks, widths)):
+            for b in range(n):
+                cin = in_w if b == 0 else w
+                add(f"layer{si+1}.{b}.conv1.weight", (w, cin, 3, 3))
+                add(f"layer{si+1}.{b}.conv2.weight", (w, w, 3, 3))
+                if b == 0 and si > 0:
+                    add(f"layer{si+1}.{b}.downsample.0.weight", (w, in_w, 1, 1))
+            in_w = w
+        return sd
+
+    def test_graft_consumes_all_keys_and_transposes(self):
+        from aonerf.models.resnet import MultiHeadImgEncoder, init_from_torch_state_dict
+
+        enc = MultiHeadImgEncoder(global_size=64)  # all four heads
+        params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64)))
+
+        sd = self._fake_resnet34_state_dict()
+        accessed = set()
+
+        class Tracking(dict):
+            def __getitem__(self, k):
+                accessed.add(k)
+                return dict.__getitem__(self, k)
+
+        out = init_from_torch_state_dict(params, Tracking(sd))
+
+        # every key consumed: a typo'd prefix or a silently-skipped head
+        # would leave keys unread
+        assert accessed == set(sd), sorted(set(sd) - accessed)
+
+        p = out["params"]
+        # OIHW -> HWIO transpose on the stem
+        np.testing.assert_array_equal(
+            np.asarray(p["conv1"]["kernel"]),
+            np.transpose(sd["conv1.weight"], (2, 3, 1, 0)),
+        )
+        assert p["conv1"]["kernel"].shape == (7, 7, 3, 64)
+        # a mid-stage block with downsample
+        np.testing.assert_array_equal(
+            np.asarray(p["layer2"]["block0"]["downsample"]["kernel"]),
+            np.transpose(sd["layer2.0.downsample.0.weight"], (2, 3, 1, 0)),
+        )
+        # all four heads carry the SAME torch layer4 weights in their
+        # private copies
+        for head in ("global", "color", "density", "articulation"):
+            np.testing.assert_array_equal(
+                np.asarray(p[f"{head}_layer4"]["block1"]["conv2"]["kernel"]),
+                np.transpose(sd["layer4.1.conv2.weight"], (2, 3, 1, 0)),
+            )
+        # untouched leaves (head fc) keep their init values
+        np.testing.assert_array_equal(
+            np.asarray(out["params"]["color_fc"]["kernel"]),
+            np.asarray(params["params"]["color_fc"]["kernel"]),
+        )
+
+    def test_graft_forward_still_runs(self):
+        from aonerf.models.resnet import MultiHeadImgEncoder, init_from_torch_state_dict
+
+        enc = MultiHeadImgEncoder()
+        params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64)))
+        sd = self._fake_resnet34_state_dict()
+        out_params = init_from_torch_state_dict(params, sd)
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, (1, 3, 64, 64)).astype(np.float32)
+        )
+        out = enc.apply(out_params, x)
+        assert all(np.all(np.isfinite(np.asarray(v))) for v in out.values())
+
+
+class TestMultiViewAEStep:
+    def _buffers2(self, h=12, w=16, n_i=2, n_d=2, n_v=2, seed=7):
+        rng = np.random.default_rng(seed)
+        hw = h * w
+        c2w = np.tile(np.eye(3, 4, dtype=np.float32), (n_i, n_d, n_v, 1, 1))
+        c2w[..., 2, 3] = 4.0
+        return {
+            "rgb": jnp.asarray(rng.integers(0, 255, (n_i, n_d, n_v, hw, 3), dtype=np.uint8)),
+            "mask": jnp.asarray(rng.integers(0, 2, (n_i, n_d, n_v, hw)).astype(np.uint8)),
+            "c2w": jnp.asarray(c2w),
+            "directions": jnp.asarray(rng.standard_normal((hw, 3)).astype(np.float32)),
+            "deg": jnp.asarray(np.deg2rad(np.arange(n_d) * 45.0).astype(np.float32)),
+        }
+
+    def test_multiview_sampler_groups_by_view(self):
+        """Each view's ray slice must come from ITS image: ray group v's
+        targets are pixels of the view whose src_imgs[v] is emitted."""
+        from aonerf.train.step import sample_multi_batch_multiview
+
+        h, w = 12, 16
+        buffers = self._buffers2(h=h, w=w)
+        V, B = 4, 32
+        batch = sample_multi_batch_multiview(
+            buffers, jax.random.PRNGKey(3), B, V, src_hw=(h, w)
+        )
+        assert batch["src_imgs"].shape == (V, 3, h, w)
+        assert batch["deg"].shape == (V,)
+        assert batch["rays_o"].shape == (B, 3)
+        per = B // V
+        for v in range(V):
+            ii = int(batch["instance_id"][v])
+            di = int(batch["articulation_id"][v])
+            # the group's target pixels must exist in one of this
+            # (instance, articulation)'s views
+            grp = np.asarray(batch["target"][v * per : (v + 1) * per])
+            imgs = np.asarray(buffers["rgb"][ii, di]).astype(np.float32) / 255.0
+            found = any(
+                all(
+                    (np.abs(imgs[vi] - px).sum(axis=-1) < 1e-6).any()
+                    for px in grp[:4]
+                )
+                for vi in range(imgs.shape[0])
+            )
+            assert found, f"group {v} pixels not found in its sampled view"
+
+    def test_multiview_ae_step_runs(self):
+        from aonerf.train import create_train_state, make_adam
+        from aonerf.train.step import sample_multi_batch_multiview
+        from aonerf.train.step_ae import make_ae_device_train_step
+
+        h, w = 12, 16
+        model = AutoEncoderArticulatedNeRF(num_coarse_samples=4, num_fine_samples=4)
+        buffers = self._buffers2(h=h, w=w)
+        dummy = sample_multi_batch_multiview(
+            buffers, jax.random.PRNGKey(0), 16, 2, src_hw=(h, w)
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), dummy, dummy["src_imgs"], dummy["deg"],
+            False, True, 2.0, 6.0,
+        )
+        tx = make_adam(lr_init=1e-3, lr_delay_steps=0)
+        state = create_train_state(params, tx)
+        step = make_ae_device_train_step(
+            model, tx, True, 2.0, 6.0, img_wh=(w, h), batch_size=16,
+            donate=False, inner_steps=2, views_per_step=2,
+        )
+        state, metrics = step(state, buffers, jax.random.PRNGKey(0))
+        for k in ("loss", "loss_state", "opacity_loss", "psnr0", "psnr1"):
+            assert np.isfinite(float(metrics[k])), k
+        assert int(state.step) == 2

@@ -252,3 +252,77 @@ class TestDatagenDepthReplay:
         with open(f"{out}/replay/transforms.json") as f:
             meta = json.load(f)
         assert "focal" in meta and "r_0" in meta["frames"]
+
+
+class TestSapienBackendMath:
+    """Pure-math pieces of the SAPIEN datagen backend, testable without the
+    simulator (reference semantics: datagen/data_utils.py:60-140)."""
+
+    def test_camera_extrinsic_looks_at_origin(self):
+        from aonerf.data.datagen.sapien_backend import camera_extrinsic_mat44
+
+        point = np.array([2.0, -1.0, 3.0])
+        m = camera_extrinsic_mat44(point)
+        # position column
+        np.testing.assert_allclose(m[:3, 3], point)
+        # SAPIEN convention: x column is forward = towards the origin
+        fwd = m[:3, 0]
+        np.testing.assert_allclose(fwd, -point / np.linalg.norm(point), atol=1e-12)
+        # rotation is orthonormal, right-handed
+        R = m[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+        assert np.linalg.det(R) > 0.99
+        # up column has positive z (camera not upside down)
+        assert m[2, 2] > 0
+
+    def test_sample_sphere_point_radius_band(self):
+        from aonerf.data.datagen.sapien_backend import sample_sphere_point
+
+        rng = np.random.default_rng(0)
+        pts = np.stack([sample_sphere_point(rng, radius=4.0) for _ in range(200)])
+        r = np.linalg.norm(pts, axis=1)
+        assert np.all(r >= 3.5 - 1e-9) and np.all(r <= 4.5 + 1e-9)
+        # full sphere: both hemispheres hit
+        assert (pts[:, 2] > 0).any() and (pts[:, 2] < 0).any()
+
+    def test_seg_masked_rgba(self):
+        from aonerf.data.datagen.sapien_backend import seg_masked_rgba
+
+        rgba = np.ones((2, 2, 4), np.float32)  # white, alpha 1
+        seg = np.zeros((2, 2, 4), np.uint32)
+        seg[0, 0] = 7  # only one pixel belongs to the object
+        out = seg_masked_rgba(rgba, seg)
+        assert out.dtype == np.uint8
+        assert out[0, 0, 3] == 255
+        assert out[0, 1, 3] == 0 and out[1, 1, 3] == 0
+        np.testing.assert_array_equal(out[..., :3], 255)
+
+    def test_depth_mm_u16(self):
+        from aonerf.data.datagen.sapien_backend import depth_mm_u16
+
+        pos = np.zeros((1, 2, 4), np.float32)
+        pos[0, 0, 2] = -1.5  # camera-frame z: depth = 1.5 m
+        pos[0, 1, 2] = -0.0005
+        out = depth_mm_u16(pos)
+        assert out.dtype == np.uint16
+        assert out[0, 0] == 1500
+        assert out[0, 1] == 0  # rounds down to 0 mm
+
+    def test_qpos_and_focal(self):
+        from aonerf.data.datagen.sapien_backend import focal_from_fovy, qpos_for_degrees
+
+        q = qpos_for_degrees(2, 90.0)
+        np.testing.assert_allclose(q, np.pi / 2)
+        # focal must match the synthetic generator's (same 35-degree fovy)
+        from aonerf.data.synthetic import FOVY_DEG
+
+        f = focal_from_fovy(240)
+        assert abs(f - 0.5 * 240 / np.tan(0.5 * np.deg2rad(FOVY_DEG))) < 1e-9
+
+    def test_generate_dispatch_without_sapien(self):
+        """Without the simulator the CLI falls back to the synthetic
+        backend; with urdf config keys but no sapien it must NOT try the
+        sapien path."""
+        from aonerf.data.datagen.generate import have_sapien
+
+        assert have_sapien() is False  # this image has no simulator

@@ -69,6 +69,25 @@ class TestVanillaE2E:
         finally:
             tr.close()
 
+    def test_optimizer_factory_ranger_trains(self, single_root, tmp_path):
+        """A config selecting the factory path ('optimizer': 'ranger',
+        'lr_scheduler': 'poly' — reference opt.py:135-153) must train: the
+        Trainer routes through build_optimizer_from_config, not a hardcoded
+        Adam."""
+        cfg = _tiny_cfg(
+            single_root, str(tmp_path), exp_name="ranger",
+            optimizer="ranger", lr_scheduler="poly", lr_init=5e-3,
+            num_epochs=10, steps_per_epoch=20,
+        )
+        tr = Trainer(cfg, use_mesh=False)
+        try:
+            v0 = tr.validate(n_images=1)["psnr"]
+            tr.fit(max_steps=100)
+            v1 = tr.validate(n_images=1)["psnr"]
+            assert np.isfinite(v1) and v1 > v0 + 2.0, f"{v0:.2f} -> {v1:.2f}"
+        finally:
+            tr.close()
+
     def test_checkpoint_roundtrip(self, single_root, tmp_path):
         cfg = _tiny_cfg(
             single_root, str(tmp_path), exp_name="ckpt", ckpt_every_steps=5
@@ -143,10 +162,98 @@ class TestAutodecoderE2E:
         tr = Trainer(cfg, use_mesh=False)
         try:
             stats = tr.test()
-            assert np.isfinite(stats["psnr"]["test"]) or True  # untrained: finite not guaranteed
+            # untrained field: PSNR may be low, but the render pipeline must
+            # produce finite metrics (NaNs would mean a broken sweep path)
+            assert np.isfinite(stats["psnr"]["test"])
+            assert np.isfinite(stats["ssim"]["test"])
             # 19-pose interpolated sweep rendered to disk
             imgs = os.listdir(os.path.join(tr.run_dir, cfg.render_name))
             assert len([f for f in imgs if f.endswith(".jpg")]) == 19
+        finally:
+            tr.close()
+
+
+class TestCodeOptimization:
+    def test_optimize_unseen_instance_psnr_climbs(self, multi_root, tmp_path):
+        """Test-time inversion (reference is_optimize, run.py:38-61): train
+        the auto-decoder briefly, then fit fresh codes for an instance
+        treated as unseen — fine-level PSNR must climb, and the Trainer
+        entry point must write optimized_codes.npz. is_optimize also flips
+        the ckpt cadence to every epoch with keep-all."""
+        cfg = _tiny_cfg(
+            multi_root,
+            str(tmp_path),
+            exp_name="invert",
+            exp_type="vanilla_autodecoder",
+            dataset_name="sapien_multi",
+            img_wh=(32, 24),
+            n_max_objs=2,
+            n_max_articulations=2,
+            batch_size=128,
+            is_optimize=True,
+            steps_per_epoch=50,
+        )
+        tr = Trainer(cfg, use_mesh=False)
+        try:
+            assert cfg.ckpt_every_steps == cfg.steps_per_epoch  # cadence map
+
+            import jax
+            import jax.numpy as jnp
+
+            from aonerf.ops.math import img2mse, mse2psnr
+            from aonerf.train.optimize import init_codes, optimize_codes
+            from aonerf.train.step import sample_multi_batch
+
+            # Invert against the INIT field: at this tiny scale a trained
+            # field renders near-empty space (background batches have
+            # exactly-zero code grads) and the two synthetic instances are
+            # near-identical, so the init field is where code conditioning
+            # is measurably alive — the machinery under test (sampling,
+            # loss, frozen-field Adam, API) is identical either way.
+            model_params = tr.state.params["model"]
+            buffers = {
+                k: jnp.asarray(v) for k, v in tr.dataset.device_buffers().items()
+            }
+            for k in ("rgb", "mask", "c2w"):
+                buffers[k] = buffers[k][1:2]  # instance 1 as "unseen"
+            art_table = tr.state.params["codes"]["params"][
+                "embedding_instance_articulation"
+            ]["embedding"]
+
+            # fixed eval batch: per-step history PSNR is measured on a fresh
+            # random batch each entry (±1.5 dB sampling noise), so the climb
+            # is asserted on ONE batch, init codes vs optimized codes
+            eval_batch = sample_multi_batch(buffers, jax.random.PRNGKey(99), 256)
+
+            def psnr_with(codes):
+                lat = {
+                    "density": codes["density"],
+                    "color": codes["color"],
+                    "articulation": jnp.atleast_2d(
+                        art_table[eval_batch["articulation_id"]]
+                    ),
+                }
+                out = tr.model.apply(
+                    model_params, eval_batch, False, True, tr.near, tr.far, lat
+                )
+                return float(mse2psnr(img2mse(out[1][0], eval_batch["target"])))
+
+            start = init_codes(jax.random.PRNGKey(5), 128)
+            psnr_before = psnr_with(start)
+            codes, _ = optimize_codes(
+                tr.model, model_params, art_table, buffers,
+                jax.random.PRNGKey(5), n_steps=200, lr=1e-2, batch_size=128,
+                white_bkgd=True, near=tr.near, far=tr.far, inner_steps=50,
+                init=jax.tree_util.tree_map(jnp.array, start),
+            )
+            psnr_after = psnr_with({k: jnp.asarray(v) for k, v in codes.items()})
+            assert psnr_after > psnr_before + 1.0, (psnr_before, psnr_after)
+            assert codes["density"].shape == (1, 128)
+
+            # Trainer entry point (cadence-mapped fit + artifact write)
+            tr.fit(max_steps=50)
+            tr.optimize_instance_codes(instance_idx=1, n_steps=20, batch_size=128)
+            assert os.path.exists(os.path.join(tr.run_dir, "optimized_codes.npz"))
         finally:
             tr.close()
 

@@ -56,12 +56,7 @@ class TestOptimizers:
     def test_single_update_runs(self, name):
         tx = make_optimizer(name, learning_rate=1e-2, weight_decay=1e-4)
         params = self._params()
-        if name == "ranger":
-            # lookahead wraps params in fast/slow copies; grads are w.r.t. fast
-            params = optax.LookaheadParams.init_synced(params)
-            grads = jax.tree_util.tree_map(jnp.ones_like, params.fast)
-        else:
-            grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
         state = tx.init(params)
         updates, state = tx.update(grads, state, params)
         new = optax.apply_updates(params, updates)
@@ -71,6 +66,67 @@ class TestOptimizers:
             np.asarray(jax.tree_util.tree_leaves(params)[0]),
             np.asarray(leaves[0]),
         )
+
+    def test_flat_lookahead_sync_semantics(self):
+        """flat_lookahead on plain param pytrees: between syncs the params
+        follow the inner optimizer exactly; at the sync step the params jump
+        to slow + alpha*(fast - slow) with slow anchored at the start."""
+        from aonerf.train.optim import flat_lookahead
+
+        inner = optax.sgd(0.1)
+        tx = flat_lookahead(inner, sync_period=3, slow_step_size=0.5)
+        p0 = {"w": jnp.asarray([1.0, 2.0])}
+        g = {"w": jnp.asarray([1.0, 1.0])}
+        state = tx.init(p0)
+        p = p0
+        for step in range(1, 4):
+            updates, state = tx.update(g, state, p)
+            p = optax.apply_updates(p, updates)
+            if step < 3:  # pure sgd: w - 0.1*step
+                np.testing.assert_allclose(
+                    np.asarray(p["w"]), np.asarray(p0["w"]) - 0.1 * step, rtol=1e-6
+                )
+        # sync at step 3: fast would be p0-0.3; slow=p0; blended halfway
+        np.testing.assert_allclose(
+            np.asarray(p["w"]), np.asarray(p0["w"]) - 0.15, rtol=1e-6
+        )
+
+    def test_build_from_config_default_is_loglerp_adam(self):
+        from aonerf.train.lr import log_lerp_lr
+        from aonerf.train.optim import build_optimizer_from_config
+        from aonerf.utils.config import Config
+
+        cfg = Config()
+        tx, lr_fn = build_optimizer_from_config(cfg)
+        np.testing.assert_allclose(
+            float(lr_fn(0)),
+            float(log_lerp_lr(0, lr_init=cfg.lr_init, lr_final=cfg.lr_final,
+                              max_steps=cfg.run_max_steps,
+                              lr_delay_steps=cfg.lr_delay_steps,
+                              lr_delay_mult=cfg.lr_delay_mult)),
+            rtol=1e-6,
+        )
+        params = {"w": jnp.ones((2,))}
+        state = tx.init(params)
+        u, _ = tx.update({"w": jnp.ones((2,))}, state, params)
+        assert np.all(np.isfinite(np.asarray(u["w"])))
+
+    def test_build_from_config_latent_split(self):
+        """latent_lr routes the codes subtree to its own AdamW."""
+        from aonerf.train.optim import build_optimizer_from_config
+        from aonerf.utils.config import Config
+
+        cfg = Config(
+            exp_type="vanilla_autodecoder", optimizer="sgd", lr_scheduler="poly",
+            lr_init=1e-4, momentum=0.0, latent_lr=1e-1,
+        )
+        tx, _ = build_optimizer_from_config(cfg)
+        params = {"model": {"w": jnp.ones((2,))}, "codes": {"e": jnp.ones((2,))}}
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        assert abs(float(updates["model"]["w"][0])) < 1e-3  # sgd @ 1e-4
+        assert abs(float(updates["codes"]["e"][0])) > 5e-2  # adamw @ 1e-1
 
     def test_unknown_raises(self):
         with pytest.raises(ValueError):

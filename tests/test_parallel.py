@@ -158,6 +158,77 @@ def _multi_buffers(h=12, w=16, n_i=2, n_d=2, n_v=2, seed=3):
     }
 
 
+class TestMultiHost:
+    def test_local_shard_bounds(self):
+        import unittest.mock as mock
+
+        from aonerf.parallel import distributed as dist
+
+        with mock.patch.object(jax, "process_count", return_value=2), \
+             mock.patch.object(jax, "process_index", return_value=1):
+            assert dist.local_shard_bounds(7) == (4, 7)  # ragged last shard
+        with mock.patch.object(jax, "process_count", return_value=2), \
+             mock.patch.object(jax, "process_index", return_value=0):
+            assert dist.local_shard_bounds(7) == (0, 4)
+
+    def test_gather_images_single_process_trims(self):
+        from aonerf.parallel.distributed import gather_images
+
+        rows = np.arange(12, dtype=np.float32).reshape(6, 2)
+        out = gather_images(rows, 5)
+        np.testing.assert_array_equal(out, rows[:5])
+
+    def test_gather_images_two_processes(self, tmp_path):
+        """Real 2-process jax.distributed cluster on CPU: each process
+        gathers its ragged contiguous shard back into the full array — the
+        reference's DDP-eval alter_gather_cat (interface.py:31-51)."""
+        import socket
+        import subprocess
+        import sys
+
+        worker = tmp_path / "worker.py"
+        worker.write_text(
+            "import sys\n"
+            "import numpy as np\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "pid, port, repo = int(sys.argv[1]), sys.argv[2], sys.argv[3]\n"
+            "jax.distributed.initialize(\n"
+            "    coordinator_address=f'127.0.0.1:{port}',\n"
+            "    num_processes=2, process_id=pid)\n"
+            "sys.path.insert(0, repo)\n"
+            "from aonerf.parallel.distributed import (\n"
+            "    gather_images, is_main_process, local_shard_bounds)\n"
+            "n = 7\n"
+            "full = np.arange(n * 4, dtype=np.float32).reshape(n, 4)\n"
+            "start, stop = local_shard_bounds(n)\n"
+            "out = gather_images(full[start:stop], n)\n"
+            "np.testing.assert_array_equal(out, full)\n"
+            "assert is_main_process() == (pid == 0)\n"
+            "print(f'proc{pid} ok')\n"
+        )
+        with socket.socket() as s:  # free port
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), port, repo],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out.decode())
+        assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+        assert "proc0 ok" in outs[0] and "proc1 ok" in outs[1]
+
+
 class TestArticulatedDDP:
     """The articulated modes' DDP steps (per-chip distinct sampling + pmean'd
     grads — the reference's 7-GPU DDP, README.md:105) must equal a
