@@ -16,6 +16,16 @@ cotangents are zero. The integrator backward is analytic:
   dL/dalpha_i = g_w_i * T_i - (1/(1-alpha_i+eps)) * sum_{j>i} g_w_j * w_j
 
 with the suffix sum computed as a strictly-upper-triangular matmul (MXU).
+
+STATUS (round 2): demoted to a correctness cross-check, not the production
+path. The kernel's win was eliminating HBM activation round-trips in the
+large-batch regime; the small-batch (224-ray) VMEM-resident XLA step made
+that moot (122.6K vs 47.0K rays/s), and the roofline in RESULTS.md shows the
+XLA step already streams at/above the bare bf16 matmul-chain rate of its own
+layer shapes — there is no headroom left for a hand kernel at this model
+width. Kept because it exercises the Pallas path end-to-end (custom-VJP,
+recompute-in-bwd, VMEM weight-grad accumulation) and pins the jnp path's
+numerics (tests/test_kernels.py).
 """
 
 import functools

@@ -178,6 +178,12 @@ def make_ae_device_train_step(
     view — and pmean'd grads; global batch = n_chips * batch_size (and
     n_chips source views per step).
     """
+    if views_per_step > 1 and batch_size % views_per_step != 0:
+        raise ValueError(
+            f"batch_size ({batch_size}) must be divisible by views_per_step "
+            f"({views_per_step}); otherwise {batch_size % views_per_step} "
+            "rays/step would silently be dropped"
+        )
     loss_fn = _ae_loss_fn(
         model, white_bkgd, near, far, randomized, opacity_lambda,
         opacity_loss=opacity_loss, photometric=photometric,

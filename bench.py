@@ -40,7 +40,10 @@ def main() -> None:
                    help="global-norm gradient clip (0 = off); required for "
                         "stable bf16 training, so the benched step includes it")
     p.add_argument("--fused", action="store_true",
-                   help="use the Pallas fused fwd+bwd ray-march kernels")
+                   help="use the Pallas fused fwd+bwd ray-march kernels "
+                        "(demoted to a parity cross-check: loses to the "
+                        "VMEM-resident XLA step at the shipped batch size — "
+                        "see the roofline in RESULTS.md)")
     p.add_argument("--no-update-baseline", action="store_true")
     p.add_argument("--no-pipeline", dest="pipeline", action="store_false",
                    help="fetch the loss scalar after every dispatch instead "

@@ -156,6 +156,19 @@ class TestAutoEncoderSystem:
             assert np.isfinite(float(metrics[k])), k
         assert int(state.step) == 2
 
+    def test_multiview_batch_must_divide(self, model_and_params):
+        """views_per_step that does not divide batch_size would silently drop
+        rays (batch_size // n_views per view) — must fail at build time."""
+        from aonerf.train import make_adam
+        from aonerf.train.step_ae import make_ae_device_train_step
+
+        model, _ = model_and_params
+        with pytest.raises(ValueError, match="divisible by views_per_step"):
+            make_ae_device_train_step(
+                model, make_adam(), True, 2.0, 6.0, img_wh=(64, 48),
+                batch_size=16, views_per_step=3,
+            )
+
     def test_device_src_imgs_match_host_normalization(self):
         """sample_multi_batch(src_hw=...) must reproduce the host pipeline's
         [-1,1] (3,h,w) normalization (SapienMultiDataset.normalized_image)."""
