@@ -39,6 +39,47 @@ def _broadcast_latent(latent: jnp.ndarray, n_rows: int) -> jnp.ndarray:
     return jnp.repeat(latent, n_rows // b, axis=0)
 
 
+def _latent_dense(
+    mod: nn.Module,
+    name: str,
+    out_dim: int,
+    x_var: jnp.ndarray,
+    latents_small: List[jnp.ndarray],
+    n_rows: int,
+    compute_dtype,
+    bias_init: float = 0.0,
+) -> jnp.ndarray:
+    """Dense over concat(x_var, *broadcast(latents)) WITHOUT materializing the
+    broadcast: y = x_var @ K[:v] + broadcast(small @ K[v:] + b).
+
+    The latent codes are constant per view (reference repeats one (1, C)
+    embedding across all rays*samples, model_autodecoder.py:186-194), so
+    their kernel columns can be contracted once on the (V, C) rows and the
+    (V, out) result broadcast-added — the per-sample matmul K dim drops by
+    the latent width (163->3 on the deformation input, 191->63 on the trunk
+    input, 447->319 on the skip layer, 411->283 on the view branch) and the
+    n_rows x C latent tiles are never built. The kernel keeps the exact
+    concat layout and shape of the reference's Linear, so the param tree is
+    unchanged and each output is the same dot product (same fan-in init,
+    float-associativity differences only)."""
+    var_dim = x_var.shape[-1]
+    lat_dim = sum(l.shape[-1] for l in latents_small)
+
+    def init(key):
+        return {
+            "kernel": _XAVIER(key, (var_dim + lat_dim, out_dim), jnp.float32),
+            "bias": jnp.full((out_dim,), bias_init, jnp.float32),
+        }
+
+    p = mod.param(name, init)
+    k = p["kernel"].astype(compute_dtype)
+    small = jnp.concatenate(
+        [jnp.atleast_2d(l) for l in latents_small], axis=-1
+    ).astype(compute_dtype)
+    contrib = small @ k[var_dim:] + p["bias"].astype(compute_dtype)  # (V, out)
+    return x_var @ k[:var_dim] + _broadcast_latent(contrib, n_rows)
+
+
 class ArticulatedNeRFMLP(nn.Module):
     min_deg_point: int = 0
     max_deg_point: int = 10
