@@ -50,6 +50,8 @@ class AutoEncoderArticulatedNeRF(nn.Module):
     # within ~2k steps — measured, RESULTS.md. None disables (parity).
     sigma_cap: Optional[float] = 500.0
     compute_dtype: jnp.dtype = jnp.float32
+    # Per-view latent kernel contraction (see ArticulatedNeRFMLP.latent_dense).
+    latent_dense: bool = False
 
     def setup(self):
         self.encoder = MultiHeadImgEncoder(art_size=32)
@@ -64,6 +66,7 @@ class AutoEncoderArticulatedNeRF(nn.Module):
             sigma_activation=self.sigma_activation,
             sigma_cap=self.sigma_cap,
             tail_to_background=True,
+            latent_dense=self.latent_dense,
             rgb_padding=0.0,
             embed_deg=self.embed_deg,
             compute_dtype=self.compute_dtype,

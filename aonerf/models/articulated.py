@@ -50,7 +50,7 @@ def _latent_dense(
     bias_init: float = 0.0,
 ) -> jnp.ndarray:
     """Dense over concat(x_var, *broadcast(latents)) WITHOUT materializing the
-    broadcast: y = x_var @ K[:v] + broadcast(small @ K[v:] + b).
+    broadcast: y = x_var @ K[:v] + b + sum_i broadcast(small_i @ K[slice_i]).
 
     The latent codes are constant per view (reference repeats one (1, C)
     embedding across all rays*samples, model_autodecoder.py:186-194), so
@@ -58,12 +58,15 @@ def _latent_dense(
     (V, out) result broadcast-added — the per-sample matmul K dim drops by
     the latent width (163->3 on the deformation input, 191->63 on the trunk
     input, 447->319 on the skip layer, 411->283 on the view branch) and the
-    n_rows x C latent tiles are never built. The kernel keeps the exact
-    concat layout and shape of the reference's Linear, so the param tree is
-    unchanged and each output is the same dot product (same fan-in init,
-    float-associativity differences only)."""
+    n_rows x C latent tiles are never built. Each latent broadcasts
+    independently, so mixed leading dims compose (e.g. the view branch adds
+    a per-RAY viewdir contribution and a per-VIEW appearance contribution).
+    The kernel keeps the exact concat layout and shape of the reference's
+    Linear, so the param pytree is identical to the nn.Dense path
+    (checkpoints interchange) and each output is the same dot product
+    (float-associativity differences only)."""
     var_dim = x_var.shape[-1]
-    lat_dim = sum(l.shape[-1] for l in latents_small)
+    lat_dim = sum(jnp.atleast_2d(l).shape[-1] for l in latents_small)
 
     def init(key):
         return {
@@ -73,11 +76,14 @@ def _latent_dense(
 
     p = mod.param(name, init)
     k = p["kernel"].astype(compute_dtype)
-    small = jnp.concatenate(
-        [jnp.atleast_2d(l) for l in latents_small], axis=-1
-    ).astype(compute_dtype)
-    contrib = small @ k[var_dim:] + p["bias"].astype(compute_dtype)  # (V, out)
-    return x_var @ k[:var_dim] + _broadcast_latent(contrib, n_rows)
+    y = x_var @ k[:var_dim] + p["bias"].astype(compute_dtype)
+    off = var_dim
+    for lat in latents_small:
+        lat = jnp.atleast_2d(lat).astype(compute_dtype)
+        d = lat.shape[-1]
+        y = y + _broadcast_latent(lat @ k[off:off + d], n_rows)
+        off += d
+    return y
 
 
 class ArticulatedNeRFMLP(nn.Module):
@@ -107,6 +113,14 @@ class ArticulatedNeRFMLP(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     # One matmul for density+bottleneck (see mlp.fused_density_bottleneck).
     fused_head: bool = False
+    # Contract latent kernel columns once per view instead of materializing
+    # rows x C latent broadcasts (see _latent_dense): the per-sample matmul
+    # K dims drop 163->3 (deform_0), 191->63 (trunk), 447->319 (skip),
+    # 411->256 (view branch, whose per-ray viewdir condition is also
+    # contracted per ray). Same param pytree and math as the concat path
+    # (equivalence pinned in tests/test_models.py); flag only selects the
+    # compute schedule.
+    latent_dense: bool = False
 
     def _dense(self, feats: int, name: str, bias_init: float = 0.0) -> nn.Dense:
         return nn.Dense(
@@ -141,28 +155,77 @@ class ArticulatedNeRFMLP(nn.Module):
         n_rows = num_rays * num_samples
         pos = pos.reshape(n_rows, feat_dim).astype(self.compute_dtype)
 
-        shape_code = _broadcast_latent(shape_code, n_rows).astype(self.compute_dtype)
-        appearance_code = _broadcast_latent(appearance_code, n_rows).astype(self.compute_dtype)
-        articulation_code = _broadcast_latent(articulation_code, n_rows).astype(self.compute_dtype)
+        if self.latent_dense:
+            # Latents stay at their small (V, C) shapes; every layer that
+            # consumes them contracts their kernel columns on those rows and
+            # broadcast-adds (see _latent_dense). Layer names, kernel layouts
+            # and the math are identical to the concat path below.
+            if (self.netdepth - 1) % self.skip_layer == 0 and self.netdepth > 1:
+                raise ValueError(
+                    "latent_dense does not support a skip concat after the "
+                    "final trunk layer (netdepth-1 divisible by skip_layer): "
+                    "the heads would consume a latent-augmented input. Use "
+                    "latent_dense=False for this depth."
+                )
+            trunk_latents = [shape_code]
+            if self.deformation_mlp:
+                x = nn.relu(_latent_dense(
+                    self, "deform_0", self.netwidth_deformation, pos,
+                    [shape_code, articulation_code], n_rows, self.compute_dtype,
+                ))
+                for idx in range(1, self.netdepth_deformation):
+                    x = nn.relu(
+                        self._dense(self.netwidth_deformation, f"deform_{idx}")(x)
+                    )
+                delta_dim = self.input_ch if self.enc_after else feat_dim
+                x = self._dense(delta_dim, "deform_out")(x) + pos
+                if self.enc_after:
+                    x = encoding.pos_enc(x, self.min_deg_point, self.max_deg_point)
+                var_inputs = x  # row-varying slice of the trunk skip input
+            else:
+                var_inputs = pos
+                trunk_latents = [shape_code, articulation_code]
+            x = None
+            for idx in range(self.netdepth):
+                if idx == 0:
+                    h = _latent_dense(
+                        self, "pts_0", self.netwidth, var_inputs,
+                        trunk_latents, n_rows, self.compute_dtype,
+                    )
+                elif (idx - 1) % self.skip_layer == 0 and idx - 1 > 0:
+                    # the concat path appended `inputs` after layer idx-1
+                    h = _latent_dense(
+                        self, f"pts_{idx}", self.netwidth,
+                        jnp.concatenate([x, var_inputs], axis=-1),
+                        trunk_latents, n_rows, self.compute_dtype,
+                    )
+                else:
+                    h = self._dense(self.netwidth, f"pts_{idx}")(x)
+                x = nn.relu(h)
+        else:
+            shape_b = _broadcast_latent(shape_code, n_rows).astype(self.compute_dtype)
+            articulation_b = _broadcast_latent(articulation_code, n_rows).astype(
+                self.compute_dtype
+            )
 
-        x = jnp.concatenate([pos, shape_code, articulation_code], axis=-1)
+            x = jnp.concatenate([pos, shape_b, articulation_b], axis=-1)
 
-        if self.deformation_mlp:
-            for idx in range(self.netdepth_deformation):
-                x = self._dense(self.netwidth_deformation, f"deform_{idx}")(x)
+            if self.deformation_mlp:
+                for idx in range(self.netdepth_deformation):
+                    x = self._dense(self.netwidth_deformation, f"deform_{idx}")(x)
+                    x = nn.relu(x)
+                delta_dim = self.input_ch if self.enc_after else feat_dim
+                x = self._dense(delta_dim, "deform_out")(x) + pos
+                if self.enc_after:
+                    x = encoding.pos_enc(x, self.min_deg_point, self.max_deg_point)
+                x = jnp.concatenate([x, shape_b], axis=-1)
+
+            inputs = x
+            for idx in range(self.netdepth):
+                x = self._dense(self.netwidth, f"pts_{idx}")(x)
                 x = nn.relu(x)
-            delta_dim = self.input_ch if self.enc_after else feat_dim
-            x = self._dense(delta_dim, "deform_out")(x) + pos
-            if self.enc_after:
-                x = encoding.pos_enc(x, self.min_deg_point, self.max_deg_point)
-            x = jnp.concatenate([x, shape_code], axis=-1)
-
-        inputs = x
-        for idx in range(self.netdepth):
-            x = self._dense(self.netwidth, f"pts_{idx}")(x)
-            x = nn.relu(x)
-            if idx % self.skip_layer == 0 and idx > 0:
-                x = jnp.concatenate([x, inputs], axis=-1)
+                if idx % self.skip_layer == 0 and idx > 0:
+                    x = jnp.concatenate([x, inputs], axis=-1)
 
         if self.fused_head:
             raw_density, bottleneck = fused_density_bottleneck(
@@ -176,13 +239,29 @@ class ArticulatedNeRFMLP(nn.Module):
             bottleneck = self._dense(self.netwidth, "bottleneck")(x)
         raw_density = raw_density.reshape(num_rays, num_samples, self.num_density_channels)
         condition = condition.astype(self.compute_dtype)
-        condition_tile = jnp.repeat(condition[:, None, :], num_samples, axis=1).reshape(
-            n_rows, condition.shape[-1]
-        )
-        x = jnp.concatenate([bottleneck, condition_tile, appearance_code], axis=-1)
-        for idx in range(self.netdepth_condition):
-            x = self._dense(self.netwidth_condition, f"views_{idx}")(x)
-            x = nn.relu(x)
+        if self.latent_dense:
+            # The per-ray viewdir condition and the per-view appearance code
+            # both broadcast over samples/rays: contract their kernel columns
+            # on (B, 27) and (V, 128) rows instead of tiling to n_rows.
+            x = nn.relu(_latent_dense(
+                self, "views_0", self.netwidth_condition, bottleneck,
+                [condition, appearance_code], n_rows, self.compute_dtype,
+            ))
+            for idx in range(1, self.netdepth_condition):
+                x = nn.relu(
+                    self._dense(self.netwidth_condition, f"views_{idx}")(x)
+                )
+        else:
+            condition_tile = jnp.repeat(
+                condition[:, None, :], num_samples, axis=1
+            ).reshape(n_rows, condition.shape[-1])
+            appearance_b = _broadcast_latent(appearance_code, n_rows).astype(
+                self.compute_dtype
+            )
+            x = jnp.concatenate([bottleneck, condition_tile, appearance_b], axis=-1)
+            for idx in range(self.netdepth_condition):
+                x = self._dense(self.netwidth_condition, f"views_{idx}")(x)
+                x = nn.relu(x)
 
         raw_rgb = self._dense(self.num_rgb_channels, "rgb")(x)
         raw_rgb = raw_rgb.reshape(num_rays, num_samples, self.num_rgb_channels)
@@ -224,6 +303,9 @@ class ArticulatedNeRF(nn.Module):
     enc_after: bool = True
     embed_deg: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    # Contract latent kernel columns per view instead of broadcasting codes
+    # to rays x samples rows (see ArticulatedNeRFMLP.latent_dense).
+    latent_dense: bool = False
 
     def setup(self):
         mlp_kwargs = dict(
@@ -235,6 +317,7 @@ class ArticulatedNeRF(nn.Module):
             # relu sigma needs a live start; softplus does not (see mlp.py)
             density_bias_init=0.3 if self.sigma_activation == "relu" else 0.0,
             compute_dtype=self.compute_dtype,
+            latent_dense=self.latent_dense,
         )
         self.coarse_mlp = ArticulatedNeRFMLP(**mlp_kwargs)
         self.fine_mlp = ArticulatedNeRFMLP(**mlp_kwargs)

@@ -101,6 +101,7 @@ class Trainer:
                     cfg.root_dir, split="val", img_wh=cfg.img_wh, white_back=cfg.white_back
                 )
         elif cfg.exp_type in ("vanilla_autodecoder", "vanilla_ae_art"):
+            mlp_kwargs["latent_dense"] = cfg.latent_dense
             if cfg.exp_type == "vanilla_autodecoder":
                 self.model = ArticulatedNeRF(**mlp_kwargs)
                 self.code_library = CodeLibraryArticulated(

@@ -126,6 +126,12 @@ class Config:
     # lever; see train/step_ae.py views_per_step)
     ae_views_per_step: int = 1
 
+    # articulated/AE field compute schedule: contract latent kernel columns
+    # once per view instead of materializing rays x samples x C latent
+    # broadcasts (models/articulated.py::_latent_dense). Same math and param
+    # tree; selects the faster measured schedule (RESULTS.md).
+    latent_dense: bool = False
+
     # parallelism
     n_model_shards: int = 1
 

@@ -166,6 +166,75 @@ class TestArticulated:
         out2 = model.apply(params, rays, False, True, 2.0, 6.0, lat2)
         assert not np.allclose(np.asarray(out1[1][0]), np.asarray(out2[1][0]))
 
+    def test_latent_dense_matches_concat(self):
+        """latent_dense=True contracts latent kernel columns per view instead
+        of materializing rows x C broadcasts; same params, same outputs."""
+        mlp = ArticulatedNeRFMLP()
+        mlp_ld = ArticulatedNeRFMLP(latent_dense=True)
+        rng = np.random.default_rng(1)
+        pos = jnp.asarray(rng.standard_normal((6, 5, 3)), jnp.float32)
+        cond = jnp.asarray(rng.standard_normal((6, 27)), jnp.float32)
+        lat = self._latents()
+        params = mlp.init(jax.random.PRNGKey(0), pos, cond, lat)
+        # The param pytrees are identical, so concat-path params load directly.
+        params_ld = mlp_ld.init(jax.random.PRNGKey(0), pos, cond, lat)
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+            params_ld
+        )
+        assert [l.shape for l in jax.tree_util.tree_leaves(params)] == [
+            l.shape for l in jax.tree_util.tree_leaves(params_ld)
+        ]
+        rgb_a, sig_a = mlp.apply(params, pos, cond, lat)
+        rgb_b, sig_b = mlp_ld.apply(params, pos, cond, lat)
+        np.testing.assert_allclose(np.asarray(rgb_a), np.asarray(rgb_b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sig_a), np.asarray(sig_b), atol=1e-4)
+
+    def test_latent_dense_matches_concat_multiview(self):
+        """(V, C) per-view latents: each view's codes condition its own slice
+        of the rays in both schedules."""
+        rng = np.random.default_rng(2)
+        lat = {
+            "density": jnp.asarray(rng.standard_normal((2, 128)), jnp.float32),
+            "color": jnp.asarray(rng.standard_normal((2, 128)), jnp.float32),
+            "articulation": jnp.asarray(rng.standard_normal((2, 32)), jnp.float32),
+        }
+        pos = jnp.asarray(rng.standard_normal((6, 5, 3)), jnp.float32)
+        cond = jnp.asarray(rng.standard_normal((6, 27)), jnp.float32)
+        mlp = ArticulatedNeRFMLP()
+        mlp_ld = ArticulatedNeRFMLP(latent_dense=True)
+        params = mlp.init(jax.random.PRNGKey(0), pos, cond, lat)
+        rgb_a, sig_a = mlp.apply(params, pos, cond, lat)
+        rgb_b, sig_b = mlp_ld.apply(params, pos, cond, lat)
+        np.testing.assert_allclose(np.asarray(rgb_a), np.asarray(rgb_b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sig_a), np.asarray(sig_b), atol=1e-4)
+
+    def test_latent_dense_grads_match(self):
+        kw = dict(netdepth=6, netwidth=32, netdepth_deformation=2,
+                  netwidth_deformation=16, netdepth_condition=2,
+                  netwidth_condition=16)
+        mlp = ArticulatedNeRFMLP(**kw)
+        mlp_ld = ArticulatedNeRFMLP(latent_dense=True, **kw)
+        rng = np.random.default_rng(3)
+        pos = jnp.asarray(rng.standard_normal((4, 3, 3)), jnp.float32)
+        cond = jnp.asarray(rng.standard_normal((4, 27)), jnp.float32)
+        lat = self._latents()
+        params = mlp.init(jax.random.PRNGKey(0), pos, cond, lat)
+
+        def loss(m):
+            def f(p):
+                rgb, sig = m.apply(p, pos, cond, lat)
+                return jnp.sum(rgb**2) + jnp.sum(sig**2)
+            return f
+
+        g_a = jax.grad(loss(mlp))(params)
+        g_b = jax.grad(loss(mlp_ld))(params)
+        # f32 associativity: the split dots re-order the same sums; measured
+        # max relative drift ~1e-3 at O(100) gradient magnitudes.
+        for a, b in zip(jax.tree_util.tree_leaves(g_a), jax.tree_util.tree_leaves(g_b)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-3
+            )
+
     def test_rgb_padding_range(self):
         model = ArticulatedNeRF(num_coarse_samples=4, num_fine_samples=4)
         rays = _rays(4)

@@ -30,10 +30,18 @@ import optax
 
 
 def census(name: str, hlo: str) -> None:
-    counts = {
-        op: len(re.findall(rf"\b{op}", hlo))
-        for op in ("all-gather", "all-reduce", "all-to-all", "collective-permute", "reduce-scatter")
-    }
+    """Count collective INSTRUCTION DEFINITIONS (lines of the form
+    ``%x = <shape> op(...)``), not raw name occurrences — operand references
+    (%all-reduce.5 used as an input) would overstate the counts (ADVICE.md
+    round 2). Async -start/-done pairs count as one op via the -start line."""
+    counts = {}
+    for op in ("all-gather", "all-reduce", "all-to-all", "collective-permute",
+               "reduce-scatter"):
+        defs = re.findall(
+            rf"^\s*(?:ROOT\s+)?%?[\w.-]+\s+=\s+\S+\s+{op}(?:-start)?\(",
+            hlo, re.M,
+        )
+        counts[op] = len(defs)
     print(f"{name}: " + "  ".join(f"{k}={v}" for k, v in counts.items()))
 
 
