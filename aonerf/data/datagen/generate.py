@@ -77,6 +77,15 @@ def main(argv=None) -> None:
             write_depth=cfg.get("write_depth", False),
         )
     elif cfg.get("mode", "single") == "multi":
+        from aonerf.data.sapien_multi import DEFAULT_VAL_DEGREES
+
+        # val_degrees: list of held-out articulation degrees emitted under
+        # {instance}/val/ ("default" = the reference's idx_to_deg["val"]
+        # midpoints 5..85, datasets/sapien_multi.py:11-14); omit for the
+        # train-only reference layout.
+        val_degrees = cfg.get("val_degrees", ())
+        if val_degrees == "default":
+            val_degrees = DEFAULT_VAL_DEGREES
         generate_multi_scene(
             cfg["out_dir"],
             img_wh=img_wh,
@@ -84,6 +93,8 @@ def main(argv=None) -> None:
             degrees=tuple(cfg.get("degrees", range(0, 100, 10))),
             n_images=cfg.get("n_images", 60),
             seed=cfg.get("seed", 0),
+            val_degrees=tuple(val_degrees),
+            n_val_images=cfg.get("n_val_images", 0),
         )
     else:
         generate_single_scene(

@@ -30,7 +30,14 @@ from aonerf.ops.rays import create_spheric_poses
 NEAR, FAR = 2.0, 6.0
 
 IDX_TO_DEG_TRAIN = {i: 10 * i for i in range(10)}
+# Held-out validation articulations (reference datasets/sapien_multi.py:11-14):
+# the midpoints between the train degrees. The reference defines these but its
+# loader still reads train dirs; here they are first-class — datagen emits
+# {instance}/val/{deg}_degree dirs for them (data/synthetic.py
+# generate_multi_scene val_degrees) and split="val" loads them when present
+# (falling back to train dirs for reference-layout datasets).
 IDX_TO_DEG_VAL = {i: 5 + 10 * i for i in range(9)}
+DEFAULT_VAL_DEGREES = tuple(IDX_TO_DEG_VAL[i] for i in sorted(IDX_TO_DEG_VAL))
 
 
 @dataclass
@@ -65,6 +72,12 @@ class SapienMultiDataset:
         self.instance_ids = sorted(
             f.name for f in os.scandir(root_dir) if f.is_dir()
         )
+        # A val-articulation split is first-class when every instance ships a
+        # val/ subdir of held-out degrees (IDX_TO_DEG_VAL); otherwise
+        # split="val" falls back to the train dirs, which is what the
+        # reference's loader always does (sapien_multi.py:260-277).
+        self.uses_val_split = split == "val" and self.has_val_split(root_dir)
+        self._subdir = "val" if self.uses_val_split else "train"
         w, h = img_wh
         if eval_inference is not None:
             self.image_sizes = np.array([[h, w] for _ in range(19)])
@@ -80,8 +93,20 @@ class SapienMultiDataset:
 
     # ------------------------------------------------------------------ load
 
+    @staticmethod
+    def has_val_split(root_dir: str) -> bool:
+        """True when EVERY instance dir contains a non-empty val/ subdir."""
+        instances = [f.path for f in os.scandir(root_dir) if f.is_dir()]
+        if not instances:
+            return False
+        return all(
+            os.path.isdir(os.path.join(p, "val"))
+            and any(os.scandir(os.path.join(p, "val")))
+            for p in instances
+        )
+
     def _deg_dirs(self, instance: str) -> List[str]:
-        base = os.path.join(self.root_dir, instance, "train")
+        base = os.path.join(self.root_dir, instance, self._subdir)
         names = [f.name for f in os.scandir(base) if f.is_dir()]
         order = np.argsort([int(n.split("_")[0]) for n in names])
         return [names[i] for i in order]
@@ -114,7 +139,7 @@ class SapienMultiDataset:
             deg_names = self._deg_dirs(instance)
             self._deg_names[ii] = deg_names
             for di, deg_name in enumerate(deg_names):
-                base = os.path.join(self.root_dir, instance, "train", deg_name)
+                base = os.path.join(self.root_dir, instance, self._subdir, deg_name)
                 with open(os.path.join(base, "transforms.json")) as f:
                     meta = json.load(f)
                 if self.focal is None:
@@ -145,6 +170,13 @@ class SapienMultiDataset:
 
     def n_images(self, instance_idx: int = 0, deg_idx: int = 0) -> int:
         return len(self._views[(instance_idx, deg_idx)])
+
+    def degrees_rad(self, instance_idx: int = 0) -> np.ndarray:
+        """Articulation angles (radians) in directory order."""
+        return np.asarray(
+            [np.deg2rad(int(n.split("_")[0])) for n in self._deg_names[instance_idx]],
+            np.float32,
+        )
 
     def _rays_for_view(self, view: _View):
         return get_rays_np(self.directions, view.c2w)

@@ -274,35 +274,49 @@ def generate_multi_scene(
     degrees: Tuple[int, ...] = (0, 10, 20, 30, 40, 50, 60, 70, 80, 90),
     n_images: int = 4,
     seed: int = 0,
+    val_degrees: Tuple[int, ...] = (),
+    n_val_images: int = 0,
 ) -> str:
     """Write an articulated multi-config dataset in the reference's
     sapien_multi layout ({root}/{instance}/train/{deg}_degree/...), with a
-    camera_angle_x entry as produced by the reference generator."""
+    camera_angle_x entry as produced by the reference generator.
+
+    ``val_degrees`` (e.g. sapien_multi.DEFAULT_VAL_DEGREES, the reference's
+    held-out idx_to_deg["val"] midpoints, datasets/sapien_multi.py:11-14)
+    additionally emits {instance}/val/{deg}_degree dirs so validation can run
+    on articulations absent from training; ``n_val_images`` views each
+    (default: same as n_images)."""
     w, h = img_wh
     focal = 0.5 * h / np.tan(0.5 * np.deg2rad(FOVY_DEG))
     # camera_angle_x consistent with focal at native width 320
     camera_angle_x = 2.0 * np.arctan(0.5 * 320 / (focal * 320 / w))
     rng = np.random.default_rng(seed)
+    splits = [("train", degrees, n_images)]
+    if val_degrees:
+        splits.append(("val", tuple(val_degrees), n_val_images or n_images))
     for inst in range(n_instances):
         inst_name = f"{10000 + inst}"
-        for deg in degrees:
-            base = os.path.join(root, inst_name, "train", f"{deg}_degree")
-            os.makedirs(os.path.join(base, "rgb"), exist_ok=True)
-            os.makedirs(os.path.join(base, "seg"), exist_ok=True)
-            boxes = laptop_scene(float(deg), instance_seed=inst)
-            frames: Dict[str, list] = {}
-            for i in range(n_images):
-                c2w = random_pose_on_sphere(rng)
-                rgb, alpha, seg = render_scene(boxes, c2w, h, w, focal)
-                name = f"r_{i}"
-                _write_frame(
-                    rgb,
-                    alpha,
-                    seg,
-                    os.path.join(base, "rgb", name + ".png"),
-                    os.path.join(base, "seg", name + ".png"),
-                )
-                frames[name] = c2w.tolist()
-            with open(os.path.join(base, "transforms.json"), "w") as f:
-                json.dump({"camera_angle_x": float(camera_angle_x), "frames": frames}, f)
+        for split, split_degrees, split_images in splits:
+            for deg in split_degrees:
+                base = os.path.join(root, inst_name, split, f"{deg}_degree")
+                os.makedirs(os.path.join(base, "rgb"), exist_ok=True)
+                os.makedirs(os.path.join(base, "seg"), exist_ok=True)
+                boxes = laptop_scene(float(deg), instance_seed=inst)
+                frames: Dict[str, list] = {}
+                for i in range(split_images):
+                    c2w = random_pose_on_sphere(rng)
+                    rgb, alpha, seg = render_scene(boxes, c2w, h, w, focal)
+                    name = f"r_{i}"
+                    _write_frame(
+                        rgb,
+                        alpha,
+                        seg,
+                        os.path.join(base, "rgb", name + ".png"),
+                        os.path.join(base, "seg", name + ".png"),
+                    )
+                    frames[name] = c2w.tolist()
+                with open(os.path.join(base, "transforms.json"), "w") as f:
+                    json.dump(
+                        {"camera_angle_x": float(camera_angle_x), "frames": frames}, f
+                    )
     return root

@@ -54,7 +54,9 @@ class AutoEncoderArticulatedNeRF(nn.Module):
     latent_dense: bool = False
 
     def setup(self):
-        self.encoder = MultiHeadImgEncoder(art_size=32)
+        self.encoder = MultiHeadImgEncoder(
+            art_size=32, compute_dtype=self.compute_dtype
+        )
         self.field = ArticulatedNeRF(
             num_coarse_samples=self.num_coarse_samples,
             num_fine_samples=self.num_fine_samples,

@@ -29,10 +29,15 @@ _STAGE_WIDTHS = (64, 128, 256, 512)
 
 
 def _instance_norm(x: jnp.ndarray) -> jnp.ndarray:
-    """Affine-free instance norm over spatial dims (NHWC), eps as torch."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) / jnp.sqrt(var + 1e-5)
+    """Affine-free instance norm over spatial dims (NHWC), eps as torch.
+
+    Statistics accumulate in f32 even under bf16 compute (a bf16 mean over
+    76800 spatial positions loses ~2 decimal digits); the normalized result
+    returns in the input dtype so the conv chain stays bf16."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) / jnp.sqrt(var + 1e-5)).astype(x.dtype)
 
 
 class _Norm(nn.Module):
@@ -51,20 +56,24 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     norm_type: str = "instance"
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, name="conv1")(x)
+                    padding=1, use_bias=False, name="conv1",
+                    dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
         y = _Norm(self.norm_type)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, name="conv2")(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, name="conv2",
+                    dtype=self.compute_dtype, param_dtype=jnp.float32)(y)
         y = _Norm(self.norm_type)(y)
         if residual.shape[-1] != self.features or self.stride != 1:
             residual = nn.Conv(
                 self.features, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, name="downsample",
+                dtype=self.compute_dtype, param_dtype=jnp.float32,
             )(residual)
             residual = _Norm(self.norm_type)(residual)
         return nn.relu(y + residual)
@@ -75,6 +84,7 @@ class _Stage(nn.Module):
     blocks: int
     stride: int
     norm_type: str = "instance"
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -82,6 +92,7 @@ class _Stage(nn.Module):
             x = BasicBlock(
                 self.features, stride=self.stride if i == 0 else 1,
                 norm_type=self.norm_type, name=f"block{i}",
+                compute_dtype=self.compute_dtype,
             )(x)
         return x
 
@@ -102,6 +113,9 @@ class MultiHeadImgEncoder(nn.Module):
     # (concats 3 extra input channels past its declared 1024); this is the
     # working version using the five 64/64/128/256/512 feature levels.
     spatials: Tuple[str, ...] = ()
+    # bf16 convs roughly double the v5e MXU rate; norms still reduce in f32
+    # (see _instance_norm) and head outputs return f32.
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -115,23 +129,28 @@ class MultiHeadImgEncoder(nn.Module):
             }
 
         x = jnp.moveaxis(x, 1, -1)  # NCHW -> NHWC for TPU conv layout
+        x = x.astype(self.compute_dtype)
         blocks = _STAGE_BLOCKS[self.backbone]
 
         # stem (/4)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False, name="conv1")(x)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False, name="conv1",
+                    dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
         x = _Norm(self.norm_type)(x)
         x = nn.relu(x)
         stem = x  # /2 resolution: the pyramid's reference scale
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         # shared stages
         pyramid = [stem]
-        x = _Stage(64, blocks[0], 1, self.norm_type, name="layer1")(x)
+        x = _Stage(64, blocks[0], 1, self.norm_type,
+                   compute_dtype=self.compute_dtype, name="layer1")(x)
         pyramid.append(x)
         if self.shared_layers >= 2:
-            x = _Stage(128, blocks[1], 2, self.norm_type, name="layer2")(x)
+            x = _Stage(128, blocks[1], 2, self.norm_type,
+                       compute_dtype=self.compute_dtype, name="layer2")(x)
             pyramid.append(x)
         if self.shared_layers >= 3:
-            x = _Stage(256, blocks[2], 2, self.norm_type, name="layer3")(x)
+            x = _Stage(256, blocks[2], 2, self.norm_type,
+                       compute_dtype=self.compute_dtype, name="layer3")(x)
             pyramid.append(x)
 
         def head(name: str, out_size: int) -> jnp.ndarray:
@@ -139,7 +158,8 @@ class MultiHeadImgEncoder(nn.Module):
             for stage_idx in range(self.shared_layers, 4):
                 h = _Stage(
                     _STAGE_WIDTHS[stage_idx], blocks[stage_idx], 2,
-                    self.norm_type, name=f"{name}_layer{stage_idx + 1}",
+                    self.norm_type, compute_dtype=self.compute_dtype,
+                    name=f"{name}_layer{stage_idx + 1}",
                 )(h)
             if name in self.spatials:
                 target = stem.shape[1:3]
@@ -150,7 +170,7 @@ class MultiHeadImgEncoder(nn.Module):
                 feat = jnp.concatenate(levels, axis=-1)
                 feat = nn.Conv(out_size, (1, 1), name=f"{name}_pix")(feat)
                 return jnp.moveaxis(feat, -1, 1)  # (B, C, h/2, w/2)
-            h = jnp.mean(h, axis=(1, 2))  # global average pool
+            h = jnp.mean(h.astype(jnp.float32), axis=(1, 2))  # global avg pool
             return nn.Dense(out_size, name=f"{name}_fc")(h)
 
         out = {}

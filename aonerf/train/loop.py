@@ -124,7 +124,19 @@ class Trainer:
                 eval_inference=cfg.render_name if cfg.run_eval else None,
                 ray_batch_size=cfg.batch_size,
             )
-            self.val_dataset = self.dataset  # multi dataset serves all splits
+            # First-class held-out-articulation validation: when the dataset
+            # ships {instance}/val/{deg}_degree dirs (the reference's
+            # idx_to_deg["val"] midpoints, datasets/sapien_multi.py:11-14),
+            # validate() renders degrees absent from training. Reference
+            # layouts without them fall back to train views (the reference's
+            # own practice).
+            if not cfg.run_eval and ds_cls.has_val_split(cfg.root_dir):
+                self.val_dataset = ds_cls(
+                    cfg.root_dir, split="val", img_wh=cfg.img_wh,
+                    white_back=cfg.white_back, ray_batch_size=cfg.batch_size,
+                )
+            else:
+                self.val_dataset = self.dataset
         else:
             raise ValueError(f"unknown exp_type {cfg.exp_type!r}")
 
@@ -341,6 +353,16 @@ class Trainer:
         )
         return {k: jnp.atleast_2d(v) for k, v in latents.items()}
 
+    def _interp_articulation_id(self, deg_rad: float) -> int:
+        """Nearest index in the 2N-1 interpolated articulation sweep: learned
+        codes at the TRAIN degrees (even indices), neighbor midpoints at odd
+        indices (models/codes.py::get_interpolated_articulations)."""
+        train_degs = self.dataset.degrees_rad()
+        grid = np.empty(2 * len(train_degs) - 1, np.float64)
+        grid[0::2] = train_degs
+        grid[1::2] = 0.5 * (train_degs[:-1] + train_degs[1:])
+        return int(np.argmin(np.abs(grid - deg_rad)))
+
     def _render_setup(self, img: Dict, is_test: bool = False):
         """(params_for_renderer, latents) for the articulated variants."""
         if self.cfg.exp_type == "vanilla_autodecoder":
@@ -399,13 +421,29 @@ class Trainer:
                     self._save_val_grid(s.target, rgb, depth, acc)
         else:
             n = n_images or 1
+            ds = self.val_dataset
+            held_out = bool(getattr(ds, "uses_val_split", False))
             for _ in range(n):
-                ii = int(self.rng.integers(self.dataset.n_instances))
-                di = int(self.rng.integers(self.dataset.n_articulations(ii)))
-                vi = int(self.rng.integers(self.dataset.n_images(ii, di)))
-                img = self.dataset.get_image(ii, di, vi)
+                ii = int(self.rng.integers(ds.n_instances))
+                di = int(self.rng.integers(ds.n_articulations(ii)))
+                vi = int(self.rng.integers(ds.n_images(ii, di)))
+                img = ds.get_image(ii, di, vi)
                 rays = {k: jnp.asarray(img[k]) for k in ("rays_o", "rays_d", "viewdirs")}
-                render_params, latents = self._render_setup(img)
+                if held_out and cfg.exp_type == "vanilla_autodecoder":
+                    # No learned code exists for a held-out degree; use the
+                    # nearest entry of the 2N-1 interpolated articulation
+                    # sweep (midpoints land exactly on the 5..85 deg val
+                    # schedule) — the reference's test-time interpolation
+                    # (code_library.py:55-71) as a val conditioning.
+                    img = dict(
+                        img,
+                        articulation_id=np.int32(
+                            self._interp_articulation_id(float(img["deg"]))
+                        ),
+                    )
+                    render_params, latents = self._render_setup(img, is_test=True)
+                else:
+                    render_params, latents = self._render_setup(img)
                 rgb = np.asarray(self._renderer(render_params, rays, latents)[0])
                 target = jnp.asarray(img["target"])
                 psnrs.append(float(psnr_image(jnp.asarray(rgb), target)))

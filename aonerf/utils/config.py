@@ -129,8 +129,10 @@ class Config:
     # articulated/AE field compute schedule: contract latent kernel columns
     # once per view instead of materializing rays x samples x C latent
     # broadcasts (models/articulated.py::_latent_dense). Same math and param
-    # tree; selects the faster measured schedule (RESULTS.md).
-    latent_dense: bool = False
+    # tree (equivalence + oracle-parity tested); default ON because it is the
+    # measured-faster schedule in both modes (+19.6% autodecoder, +10.7% AE,
+    # RESULTS.md). Set false for the reference-shaped concat compute graph.
+    latent_dense: bool = True
 
     # parallelism
     n_model_shards: int = 1

@@ -39,13 +39,14 @@ import numpy as np
 # VMEM-resident; bf16 dots roughly double the MXU rate on top. Vanilla fine
 # sweep: 192->117.8K, 224->122.7K, 256->119.9K, 288->122.6K, 320->103.5K
 # (cliff). Autodecoder optimum sits lower (160) because the deformation MLP +
-# latent concats add activations per ray. AE: 2 views x 384 rays/view batches
+# latent concats add activations per ray (176 with the latent_dense
+# schedule). AE: 2 views x 384 rays/view batches
 # two ResNet34 encodes into one forward (+43% over single-view). Batches >
 # 4096 (or bf16 @ 4096) trip an XLA regalloc RET_CHECK (live_range_finder.cc)
 # on this toolchain.
 _MODE_DEFAULTS = {
     "vanilla": {"batch_size": 224, "inner_steps": 183},
-    "autodecoder": {"batch_size": 160, "inner_steps": 256},
+    "autodecoder": {"batch_size": 176, "inner_steps": 233},
     "ae": {"batch_size": 768, "inner_steps": 25, "views_per_step": 2},
 }
 
@@ -199,10 +200,15 @@ def main() -> None:
                         "kernels (demoted to a parity cross-check: loses to "
                         "the VMEM-resident XLA step at the shipped batch "
                         "size — see the roofline in RESULTS.md)")
-    p.add_argument("--latent-dense", action="store_true",
+    p.add_argument("--latent-dense", action="store_true", default=True,
                    help="(autodecoder/ae) contract latent kernel columns per "
                         "view instead of materializing rows x C broadcasts "
-                        "(models/articulated.py::_latent_dense)")
+                        "(models/articulated.py::_latent_dense). Default ON: "
+                        "+19.6%% autodecoder / +10.7%% ae measured, same math "
+                        "(RESULTS.md)")
+    p.add_argument("--no-latent-dense", dest="latent_dense",
+                   action="store_false",
+                   help="use the reference-shaped concat schedule")
     p.add_argument("--budget-s", type=float, default=240.0,
                    help="total wall-clock budget incl. compile; when exceeded "
                         "mid-measurement, emit the JSON from the steps that "

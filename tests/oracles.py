@@ -136,6 +136,80 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def articulated_mlp_np(p, pos, venc, latents):
+    """fp64 oracle of ArticulatedNeRFMLP defaults (deformation_mlp=True,
+    enc_after=True): reference model_autodecoder.py:171-235. p: flax param
+    dict (numpy); pos (R, S, 3) RAW points; venc (R, 27); latents: dict of
+    (1, C) or (V, C) codes. Returns (raw_rgb (R,S,3), raw_sigma (R,S,1))."""
+    r, s, _ = pos.shape
+    n = r * s
+
+    def bcast(code):
+        code = np.atleast_2d(code)
+        return np.repeat(code, n // code.shape[0], axis=0)
+
+    shape = bcast(latents["density"])
+    app = bcast(latents["color"])
+    art = bcast(latents["articulation"])
+    pos_flat = pos.reshape(n, 3)
+
+    x = np.concatenate([pos_flat, shape, art], axis=-1)
+    for i in range(4):
+        w, b = p[f"deform_{i}"]["kernel"], p[f"deform_{i}"]["bias"]
+        x = np.maximum(x @ w + b, 0.0)
+    x = x @ p["deform_out"]["kernel"] + p["deform_out"]["bias"] + pos_flat
+    xenc = pos_enc_np(x, 0, 10)
+    x = np.concatenate([xenc, shape], axis=-1)
+    inputs = x
+    for i in range(8):
+        w, b = p[f"pts_{i}"]["kernel"], p[f"pts_{i}"]["bias"]
+        x = np.maximum(x @ w + b, 0.0)
+        if i == 4:
+            x = np.concatenate([x, inputs], axis=-1)
+    sigma = (x @ p["density"]["kernel"] + p["density"]["bias"]).reshape(r, s, 1)
+    bott = x @ p["bottleneck"]["kernel"] + p["bottleneck"]["bias"]
+    cond = np.repeat(venc[:, None, :], s, axis=1).reshape(n, -1)
+    v = np.concatenate([bott, cond, app], axis=-1)
+    for i in range(4):
+        w, b = p[f"views_{i}"]["kernel"], p[f"views_{i}"]["bias"]
+        v = np.maximum(v @ w + b, 0.0)
+    rgb = (v @ p["rgb"]["kernel"] + p["rgb"]["bias"]).reshape(r, s, 3)
+    return rgb, sigma
+
+
+def _softplus(x):
+    return np.log1p(np.exp(-np.abs(x))) + np.maximum(x, 0.0)
+
+
+def articulated_forward_np(
+    params, latents, rays_o, rays_d, viewdirs, n_coarse, n_fine, near, far,
+    white_bkgd, rgb_padding=0.001, density_bias=-1.0,
+):
+    """Deterministic two-level articulated hierarchy, fp64 (reference
+    NeRF_AE_Art.forward, model_autodecoder.py:278-337: softplus sigma with
+    bias, padded sigmoid rgb). params: {'coarse_mlp': ..., 'fine_mlp': ...}.
+    Returns [(comp_rgb, acc, weights, depth)] per level."""
+    r = rays_o.shape[0]
+    venc = pos_enc_np(viewdirs, 0, 4)
+    t = np.broadcast_to(stratified_tvals_np(n_coarse, near, far), (r, n_coarse + 1)).copy()
+    out = []
+    for level, name in enumerate(("coarse_mlp", "fine_mlp")):
+        if level == 1:
+            mids = 0.5 * (t[:, 1:] + t[:, :-1])
+            u = np.broadcast_to(
+                np.linspace(0.0, 1.0 - 2.0**-32, n_fine), (r, n_fine)
+            )
+            new_t = inverse_cdf_np(mids, weights[:, 1:-1], u)
+            t = np.sort(np.concatenate([t, new_t], axis=-1), axis=-1)
+        pts = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
+        raw_rgb, raw_sigma = articulated_mlp_np(params[name], pts, venc, latents)
+        rgb = _sigmoid(raw_rgb) * (1.0 + 2.0 * rgb_padding) - rgb_padding
+        sigma = _softplus(raw_sigma + density_bias)
+        comp, acc, weights, depth = volumetric_rendering_np(rgb, sigma, t, rays_d, white_bkgd)
+        out.append((comp, acc, weights, depth))
+    return out
+
+
 def nerf_forward_np(params, rays_o, rays_d, viewdirs, n_coarse, n_fine, near, far, white_bkgd):
     """Deterministic full hierarchy. params: {'coarse_mlp': ..., 'fine_mlp': ...}.
 

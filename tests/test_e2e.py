@@ -173,6 +173,54 @@ class TestAutodecoderE2E:
             tr.close()
 
 
+class TestValArticulationSplit:
+    def test_validate_on_held_out_degrees(self, tmp_path):
+        """First-class val-articulation split (reference idx_to_deg['val'],
+        datasets/sapien_multi.py:11-14): datagen emits {instance}/val dirs of
+        held-out degrees, the Trainer validates on them with interpolated
+        articulation codes, and by construction no val degree is a train
+        degree."""
+        root = str(tmp_path / "data")
+        generate_multi_scene(
+            root, img_wh=(32, 24), n_instances=2, degrees=(0, 90),
+            n_images=2, val_degrees=(45,), n_val_images=1,
+        )
+        from aonerf.data.sapien_multi import SapienMultiDataset
+
+        assert SapienMultiDataset.has_val_split(root)
+        cfg = _tiny_cfg(
+            root, str(tmp_path), exp_name="valsplit",
+            exp_type="vanilla_autodecoder", dataset_name="sapien_multi",
+            img_wh=(32, 24), n_max_objs=2, n_max_articulations=2,
+            batch_size=128,
+        )
+        tr = Trainer(cfg, use_mesh=False)
+        try:
+            assert tr.val_dataset is not tr.dataset
+            assert tr.val_dataset.uses_val_split
+            train_degs = set(np.round(np.rad2deg(tr.dataset.degrees_rad())))
+            val_degs = set(np.round(np.rad2deg(tr.val_dataset.degrees_rad())))
+            assert val_degs == {45.0} and not (train_degs & val_degs)
+            # 45 deg sits on the midpoint slot of the (0, 90) sweep
+            assert tr._interp_articulation_id(float(np.deg2rad(45))) == 1
+            assert tr._interp_articulation_id(0.0) == 0
+            tr.fit(max_steps=4)
+            val = tr.validate(n_images=2)
+            assert np.isfinite(val["psnr"]) and np.isfinite(val["psnr_obj"])
+        finally:
+            tr.close()
+
+    def test_val_split_fallback_to_train(self, multi_root, tmp_path):
+        """Reference-layout datasets (no val/ dirs) keep the reference's own
+        behavior: split='val' reads the train dirs."""
+        from aonerf.data.sapien_multi import SapienMultiDataset
+
+        assert not SapienMultiDataset.has_val_split(multi_root)
+        ds = SapienMultiDataset(multi_root, split="val", img_wh=(32, 24))
+        assert not ds.uses_val_split
+        assert ds.n_articulations(0) == 2  # the train degrees
+
+
 class TestCodeOptimization:
     def test_optimize_unseen_instance_psnr_climbs(self, multi_root, tmp_path):
         """Test-time inversion (reference is_optimize, run.py:38-61): train

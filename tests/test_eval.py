@@ -76,6 +76,60 @@ class TestLPIPSGate:
         assert np.isnan(lpips_image(img, img, weights_path=None))
 
 
+class TestLPIPSForward:
+    """Exercises the full VGG+linear-head forward (aonerf/eval/lpips.py) with
+    a synthetic weights file in the exact export layout
+    (tools/export_lpips_weights.py): 13 convs at the torchvision .features
+    indices, pools after relu{2,7,14,21}, taps at relu{2,7,14,21,28}, five
+    1x1 linear heads. Channel widths are free (read from the file), so tiny
+    kernels keep the test fast. Reference surface: models/interface.py:113-123."""
+
+    _CONV_IDXS = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    _TAPS = [2, 7, 14, 21, 28]
+
+    def _write_weights(self, path, seed=0, c=4):
+        rng = np.random.default_rng(seed)
+        params = {}
+        c_in = 3
+        for idx in self._CONV_IDXS:
+            params[f"features_{idx}_kernel"] = (
+                0.3 * rng.standard_normal((3, 3, c_in, c)).astype(np.float32)
+            )
+            params[f"features_{idx}_bias"] = (
+                0.05 * rng.standard_normal((c,)).astype(np.float32)
+            )
+            c_in = c
+        for j in range(5):
+            # real LPIPS heads are non-negative; keep that property
+            params[f"lin_{j}_kernel"] = rng.uniform(
+                0.1, 1.0, size=(c,)
+            ).astype(np.float32)
+        np.savez(path, **params)
+        return str(path)
+
+    def test_identical_images_distance_zero(self, tmp_path):
+        w = self._write_weights(tmp_path / "w.npz")
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+        d = lpips_image(img, img, weights_path=w)
+        assert np.isfinite(d) and abs(d) < 1e-6
+
+    def test_noise_increases_distance(self, tmp_path):
+        w = self._write_weights(tmp_path / "w.npz")
+        rng = np.random.default_rng(2)
+        img = rng.uniform(0.2, 0.8, size=(32, 32, 3)).astype(np.float32)
+        noise = rng.standard_normal(img.shape).astype(np.float32)
+        d_small = lpips_image(
+            jnp.asarray(img), jnp.asarray(np.clip(img + 0.05 * noise, 0, 1)),
+            weights_path=w,
+        )
+        d_large = lpips_image(
+            jnp.asarray(img), jnp.asarray(np.clip(img + 0.3 * noise, 0, 1)),
+            weights_path=w,
+        )
+        assert 0.0 < d_small < d_large
+
+
 class TestSummarize:
     def test_no_splits_goes_to_test(self):
         out = summarize_metric([1.0, 2.0, 3.0])

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from aonerf.models import ArticulatedNeRF, CodeLibraryArticulated, NeRF
@@ -228,6 +229,101 @@ class TestMultiHost:
         assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
         assert "proc0 ok" in outs[0] and "proc1 ok" in outs[1]
 
+    def test_train_step_two_processes_matches_oracle(self, tmp_path):
+        """Real 2-process jax.distributed cluster (1 CPU device each): one
+        vanilla DDP train step over the cross-process mesh — the gradient
+        psum rides the DCN-analogue inter-process path, the one seam the
+        single-process 8-device tests cannot reach
+        (aonerf/parallel/distributed.py:28-51) — must produce the same loss
+        and updated params as the same step run single-device. Also prints a
+        2-process steps/s figure as a CPU-proxy scaling datapoint."""
+        import socket
+        import subprocess
+        import sys
+
+        worker = tmp_path / "train_worker.py"
+        worker.write_text(
+            "import sys, time\n"
+            "import numpy as np\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "pid, port, repo = int(sys.argv[1]), sys.argv[2], sys.argv[3]\n"
+            "jax.distributed.initialize(\n"
+            "    coordinator_address=f'127.0.0.1:{port}',\n"
+            "    num_processes=2, process_id=pid)\n"
+            "sys.path.insert(0, repo)\n"
+            "import jax.numpy as jnp\n"
+            "from aonerf.models import NeRF\n"
+            "from aonerf.parallel import (\n"
+            "    make_mesh, replicated_sharding, shard_batch, shard_params)\n"
+            "from aonerf.train import (\n"
+            "    create_train_state, make_adam, make_vanilla_train_step)\n"
+            "assert jax.process_count() == 2 and jax.device_count() == 2\n"
+            "rng = np.random.default_rng(0)\n"
+            "d = rng.standard_normal((128, 3)).astype(np.float32)\n"
+            "d /= np.linalg.norm(d, axis=-1, keepdims=True)\n"
+            "buf = {'rays_o': -4.0 * d, 'rays_d': d, 'viewdirs': d,\n"
+            "       'target': rng.uniform(size=(128, 3)).astype(np.float32)}\n"
+            "model = NeRF(num_coarse_samples=4, num_fine_samples=4)\n"
+            "dummy = {k: jnp.asarray(v[:8]) for k, v in buf.items()}\n"
+            "params = model.init(jax.random.PRNGKey(0), dummy, False, True, 2.0, 6.0)\n"
+            "tx = make_adam(lr_init=1e-3, lr_delay_steps=0)\n"
+            "step = make_vanilla_train_step(\n"
+            "    model, tx, white_bkgd=True, near=2.0, far=6.0, batch_size=64,\n"
+            "    donate=False)\n"
+            "key = jax.random.PRNGKey(3)\n"
+            "# single-device oracle on this process's local device\n"
+            "s1 = create_train_state(params, tx)\n"
+            "s1, m1 = step(s1, {k: jnp.asarray(v) for k, v in buf.items()}, key)\n"
+            "# cross-process 2-device mesh: rays sharded, params replicated\n"
+            "mesh = make_mesh()\n"
+            "buf_sh = shard_batch(mesh, buf)\n"
+            "s2 = create_train_state(shard_params(mesh, params), tx)\n"
+            "s2 = jax.device_put(s2, replicated_sharding(mesh))\n"
+            "gkey = jax.device_put(key, replicated_sharding(mesh))\n"
+            "s2, m2 = step(s2, buf_sh, gkey)\n"
+            "assert abs(float(m1['loss']) - float(m2['loss'])) < 1e-5 * max(\n"
+            "    1.0, abs(float(m1['loss'])))\n"
+            "for a, b in zip(jax.tree_util.tree_leaves(s1.params),\n"
+            "                jax.tree_util.tree_leaves(s2.params)):\n"
+            "    np.testing.assert_allclose(np.asarray(a), np.asarray(b),\n"
+            "                               rtol=2e-3, atol=1e-5)\n"
+            "# CPU-proxy scaling datapoint: steps/s across the 2-process mesh\n"
+            "t0 = time.perf_counter()\n"
+            "for _ in range(5):\n"
+            "    s2, m2 = step(s2, buf_sh, gkey)\n"
+            "    float(m2['loss'])\n"
+            "dt2 = (time.perf_counter() - t0) / 5\n"
+            "t0 = time.perf_counter()\n"
+            "for _ in range(5):\n"
+            "    s1, m1 = step(s1, {k: jnp.asarray(v) for k, v in buf.items()}, key)\n"
+            "    float(m1['loss'])\n"
+            "dt1 = (time.perf_counter() - t0) / 5\n"
+            "print(f'proc{pid} trainstep ok 1p={1/dt1:.1f}steps/s 2p={1/dt2:.1f}steps/s')\n"
+        )
+        with socket.socket() as s:  # free port
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), port, repo],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out.decode())
+        assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+        assert "proc0 trainstep ok" in outs[0]
+        assert "proc1 trainstep ok" in outs[1]
+        print(outs[0].strip().splitlines()[-1])  # scaling datapoint
+
 
 class TestArticulatedDDP:
     """The articulated modes' DDP steps (per-chip distinct sampling + pmean'd
@@ -235,7 +331,8 @@ class TestArticulatedDDP:
     single-device oracle that replays every chip's sampling and averages the
     gradients."""
 
-    def test_autodecoder_ddp_matches_oracle(self, devices):
+    @pytest.mark.parametrize("latent_dense", [False, True])
+    def test_autodecoder_ddp_matches_oracle(self, devices, latent_dense):
         from aonerf.train.step import (
             TrainState,
             _autodecoder_loss_fn,
@@ -243,7 +340,9 @@ class TestArticulatedDDP:
             sample_multi_batch,
         )
 
-        model = ArticulatedNeRF(num_coarse_samples=4, num_fine_samples=4)
+        model = ArticulatedNeRF(
+            num_coarse_samples=4, num_fine_samples=4, latent_dense=latent_dense
+        )
         lib = CodeLibraryArticulated(n_max_objs=2)
         buffers = _multi_buffers()
         batch_size = 16
