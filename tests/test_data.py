@@ -326,3 +326,29 @@ class TestSapienBackendMath:
         from aonerf.data.datagen.generate import have_sapien
 
         assert have_sapien() is False  # this image has no simulator
+
+
+class TestBenchBufferSchema:
+    def test_bench_synthetic_buffers_match_device_buffers_schema(self, tmp_path):
+        """bench.py fabricates multi-config buffers for the autodecoder/ae
+        throughput modes; they must stay byte-layout-compatible with the real
+        SapienMultiDataset.device_buffers() schema or the benched program
+        stops being the trained program."""
+        import sys
+
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+        import bench
+
+        from aonerf.data.synthetic import generate_multi_scene
+        from aonerf.data.sapien_multi import SapienMultiDataset
+
+        root = str(tmp_path / "d")
+        generate_multi_scene(root, img_wh=(16, 12), n_instances=1,
+                             degrees=(0, 90), n_images=2)
+        real = SapienMultiDataset(root, img_wh=(16, 12)).device_buffers()
+        fake = bench._synthetic_multi_buffers(img_wh=(16, 12), n_i=1, n_d=2, n_v=2)
+        assert set(fake) == set(real)
+        for k in real:
+            assert np.asarray(fake[k]).dtype == np.asarray(real[k]).dtype, k
+            assert np.asarray(fake[k]).ndim == np.asarray(real[k]).ndim, k
+            assert np.asarray(fake[k]).shape == np.asarray(real[k]).shape, k
