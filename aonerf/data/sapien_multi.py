@@ -263,15 +263,11 @@ class SapienMultiDataset:
                     rgb[ii, di, vi] = view.rgb.reshape(-1, 3)
                     mask[ii, di, vi] = view.mask.reshape(-1).astype(np.uint8)
                     c2w[ii, di, vi] = view.c2w
-        degs = np.asarray(
-            [np.deg2rad(int(n.split("_")[0])) for n in self._deg_names[0]],
-            np.float32,
-        )
         return {
             "rgb": rgb,
             "mask": mask,
             "c2w": c2w,
-            "deg": degs,
+            "deg": self.degrees_rad(0),
             "directions": self.directions.reshape(-1, 3).astype(np.float32),
         }
 

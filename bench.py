@@ -39,9 +39,10 @@ import numpy as np
 # VMEM-resident; bf16 dots roughly double the MXU rate on top. Vanilla fine
 # sweep: 192->117.8K, 224->122.7K, 256->119.9K, 288->122.6K, 320->103.5K
 # (cliff). Autodecoder optimum sits lower (160) because the deformation MLP +
-# latent concats add activations per ray (176 with the latent_dense
-# schedule). AE: 2 views x 384 rays/view batches
-# two ResNet34 encodes into one forward (+43% over single-view). Batches >
+# latent concats add activations per ray; 176 with the latent_dense
+# schedule. AE: 2 views x 384 rays/view batch two ResNet34 encodes into one
+# forward — the rays/s-optimal shape (see RESULTS.md for the
+# quality-per-wall-clock guidance). Batches >
 # 4096 (or bf16 @ 4096) trip an XLA regalloc RET_CHECK (live_range_finder.cc)
 # on this toolchain.
 _MODE_DEFAULTS = {
@@ -96,7 +97,6 @@ def _synthetic_multi_buffers(img_wh=(320, 240), n_i=2, n_d=10, n_v=12):
 
 def _build_vanilla(args, compute_dtype):
     import jax
-    import jax.numpy as jnp
 
     from aonerf.models import NeRF
     from aonerf.train import create_train_state, make_adam

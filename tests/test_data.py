@@ -334,9 +334,6 @@ class TestBenchBufferSchema:
         throughput modes; they must stay byte-layout-compatible with the real
         SapienMultiDataset.device_buffers() schema or the benched program
         stops being the trained program."""
-        import sys
-
-        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
         import bench
 
         from aonerf.data.synthetic import generate_multi_scene
