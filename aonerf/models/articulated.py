@@ -63,8 +63,12 @@ def _latent_dense(
     a per-RAY viewdir contribution and a per-VIEW appearance contribution).
     The kernel keeps the exact concat layout and shape of the reference's
     Linear, so the param pytree is identical to the nn.Dense path
-    (checkpoints interchange) and each output is the same dot product
-    (float-associativity differences only)."""
+    (checkpoints interchange either direction) and each output is the same
+    dot product (float-associativity differences only). One non-equivalence:
+    FRESH INITS from the same seed draw different values (Flax folds the RNG
+    per param path, and this is one param where nn.Dense has a submodule) —
+    same xavier distribution, different sample; irrelevant once params are
+    loaded or trained."""
     var_dim = x_var.shape[-1]
     lat_dim = sum(jnp.atleast_2d(l).shape[-1] for l in latents_small)
 

@@ -37,8 +37,12 @@ def census(name: str, hlo: str) -> None:
     counts = {}
     for op in ("all-gather", "all-reduce", "all-to-all", "collective-permute",
                "reduce-scatter"):
+        # Shapes may be tuples with spaces ("(f32[..], f32[..]) all-reduce("),
+        # so match anything after "=" up to the op name immediately followed
+        # by its operand paren; the lookbehind rejects operand REFERENCES
+        # (%all-reduce.5) and async -done lines.
         defs = re.findall(
-            rf"^\s*(?:ROOT\s+)?%?[\w.-]+\s+=\s+\S+\s+{op}(?:-start)?\(",
+            rf"^\s*(?:ROOT\s+)?%?[\w.-]+ = .*?(?<![%\w.-]){op}(?:-start)?\(",
             hlo, re.M,
         )
         counts[op] = len(defs)
