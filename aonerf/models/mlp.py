@@ -83,6 +83,16 @@ class NeRFMLP(nn.Module):
     # the pre-fused matmul. Outputs are identical either way; the flag is an
     # escape hatch for future toolchains where the tradeoff may flip.
     fused_head: bool = False
+    # Contract the view-condition kernel columns of views_0 on the (B, 27)
+    # per-RAY rows and broadcast-add over samples, instead of tiling the
+    # condition to (B*S, 27) and widening the matmul K 256->283 — the same
+    # schedule idea as the articulated latent_dense (articulated.py), where
+    # it wins +20%. Here it LOSES ~1% on the full train step (121.3K vs
+    # 122.6K rays/s, RESULTS.md): the vanilla condition is only 27 columns
+    # (vs 128-288 latent columns), so the FLOP savings are ~1.7% and XLA's
+    # schedule disturbance eats them. Off by default; param pytree and math
+    # identical either way (tests/test_models.py).
+    cond_dense: bool = False
 
     def _dense(self, feats: int, name: str, bias_init: float = 0.0) -> nn.Dense:
         return nn.Dense(
@@ -131,13 +141,37 @@ class NeRFMLP(nn.Module):
             bottleneck = self._dense(self.netwidth, "bottleneck")(x)
         raw_density = raw_density.reshape(-1, num_samples, self.num_density_channels)
         condition = condition.astype(self.compute_dtype)
-        condition_tile = jnp.repeat(condition[:, None, :], num_samples, axis=1).reshape(
-            -1, condition.shape[-1]
-        )
-        x = jnp.concatenate([bottleneck, condition_tile], axis=-1)
-        for idx in range(self.netdepth_condition):
-            x = self._dense(self.netwidth_condition, f"views_{idx}")(x)
-            x = nn.relu(x)
+        if self.cond_dense:
+            var_dim = bottleneck.shape[-1]
+            cond_dim = condition.shape[-1]
+
+            def init(key):
+                return {
+                    "kernel": _XAVIER(
+                        key, (var_dim + cond_dim, self.netwidth_condition),
+                        jnp.float32,
+                    ),
+                    "bias": jnp.zeros((self.netwidth_condition,), jnp.float32),
+                }
+
+            p = self.param("views_0", init)
+            k = p["kernel"].astype(self.compute_dtype)
+            contrib = condition @ k[var_dim:]  # (B, width) once per ray
+            x = nn.relu(
+                bottleneck @ k[:var_dim]
+                + p["bias"].astype(self.compute_dtype)
+                + jnp.repeat(contrib, num_samples, axis=0)
+            )
+            for idx in range(1, self.netdepth_condition):
+                x = nn.relu(self._dense(self.netwidth_condition, f"views_{idx}")(x))
+        else:
+            condition_tile = jnp.repeat(
+                condition[:, None, :], num_samples, axis=1
+            ).reshape(-1, condition.shape[-1])
+            x = jnp.concatenate([bottleneck, condition_tile], axis=-1)
+            for idx in range(self.netdepth_condition):
+                x = self._dense(self.netwidth_condition, f"views_{idx}")(x)
+                x = nn.relu(x)
 
         raw_rgb = self._dense(self.num_rgb_channels, "rgb")(x)
         raw_rgb = raw_rgb.reshape(-1, num_samples, self.num_rgb_channels)

@@ -30,6 +30,8 @@ class NeRF(nn.Module):
     noise_std: float = 0.0
     lindisp: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    # Per-ray contraction of the view-condition columns (see NeRFMLP).
+    cond_dense: bool = False
 
     def setup(self):
         mlp_kwargs = dict(
@@ -37,6 +39,7 @@ class NeRF(nn.Module):
             max_deg_point=self.max_deg_point,
             deg_view=self.deg_view,
             compute_dtype=self.compute_dtype,
+            cond_dense=self.cond_dense,
         )
         self.coarse_mlp = NeRFMLP(**mlp_kwargs)
         self.fine_mlp = NeRFMLP(**mlp_kwargs)

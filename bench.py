@@ -102,7 +102,8 @@ def _build_vanilla(args, compute_dtype):
     from aonerf.train import create_train_state, make_adam
     from aonerf.train.step import make_vanilla_train_multi_step
 
-    model = NeRF(compute_dtype=compute_dtype)  # full 64+128 hierarchy
+    model = NeRF(compute_dtype=compute_dtype,  # full 64+128 hierarchy
+                 cond_dense=args.cond_dense)
     buffers = _synthetic_rays(640 * 480)
     dummy = {k: v[:8] for k, v in buffers.items()}
     params = model.init(jax.random.PRNGKey(0), dummy, False, True, 2.0, 6.0)
@@ -200,6 +201,10 @@ def main() -> None:
                         "kernels (demoted to a parity cross-check: loses to "
                         "the VMEM-resident XLA step at the shipped batch "
                         "size — see the roofline in RESULTS.md)")
+    p.add_argument("--cond-dense", action="store_true",
+                   help="(vanilla) contract the view-condition kernel "
+                        "columns per ray instead of tiling the condition "
+                        "over samples (models/mlp.py::NeRFMLP.cond_dense)")
     p.add_argument("--latent-dense", action="store_true", default=True,
                    help="(autodecoder/ae) contract latent kernel columns per "
                         "view instead of materializing rows x C broadcasts "

@@ -166,6 +166,26 @@ class TestArticulated:
         out2 = model.apply(params, rays, False, True, 2.0, 6.0, lat2)
         assert not np.allclose(np.asarray(out1[1][0]), np.asarray(out2[1][0]))
 
+    def test_cond_dense_matches_concat_vanilla(self):
+        """NeRFMLP.cond_dense (per-ray view-condition contraction): same
+        params, same outputs as the tiled-concat schedule."""
+        from aonerf.models import NeRFMLP
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((5, 7, 63)), jnp.float32)
+        cond = jnp.asarray(rng.standard_normal((5, 27)), jnp.float32)
+        mlp = NeRFMLP()
+        mlp_cd = NeRFMLP(cond_dense=True)
+        params = mlp.init(jax.random.PRNGKey(0), x, cond)
+        params_cd = mlp_cd.init(jax.random.PRNGKey(0), x, cond)
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+            params_cd
+        )
+        rgb_a, sig_a = mlp.apply(params, x, cond)
+        rgb_b, sig_b = mlp_cd.apply(params, x, cond)
+        np.testing.assert_allclose(np.asarray(rgb_a), np.asarray(rgb_b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sig_a), np.asarray(sig_b), atol=1e-4)
+
     def test_latent_dense_matches_concat(self):
         """latent_dense=True contracts latent kernel columns per view instead
         of materializing rows x C broadcasts; same params, same outputs."""
