@@ -444,7 +444,15 @@ class Trainer:
                     render_params, latents = self._render_setup(img, is_test=True)
                 else:
                     render_params, latents = self._render_setup(img)
-                rgb = np.asarray(self._renderer(render_params, rays, latents)[0])
+                rgb, acc, depth = (
+                    np.asarray(x)
+                    for x in self._renderer(render_params, rays, latents)
+                )
+                if not psnrs and self._is_main:
+                    # first val image: GT/pred/depth/opacity grid (the
+                    # reference's rank-0 wandb val images for the articulated
+                    # systems, model_autodecoder.py:571-580)
+                    self._save_val_grid(img["target"], rgb, depth, acc)
                 target = jnp.asarray(img["target"])
                 psnrs.append(float(psnr_image(jnp.asarray(rgb), target)))
                 obj_psnrs.append(
