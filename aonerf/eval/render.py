@@ -11,6 +11,7 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
 
 _RAY_KEYS = ("rays_o", "rays_d", "viewdirs")
 
@@ -23,6 +24,7 @@ def make_image_renderer(
     chunk: int = 4096,
     uses_latents: bool = False,
     method=None,
+    mesh: Optional[Mesh] = None,
 ) -> Callable:
     """One-dispatch full-image renderer: ``lax.map`` over static ray tiles.
 
@@ -33,6 +35,15 @@ def make_image_renderer(
     dispatch-latency-bound runtime this is the difference between H*W/chunk
     round-trips and one. Tile compute is sequential (lax.map) so peak memory
     stays at one tile's working set, same as the reference's chunking intent.
+
+    ``mesh`` with >1 chip on its 'data' axis renders CHIP-PARALLEL: the tile
+    axis is sharded over 'data' under shard_map, each chip lax.maps its own
+    tiles (params/latents replicated; rays padded to chunk * n_chips), and
+    the only collective is the output re-assembly — an image renders ~n_chips
+    faster. This is the eval analogue of the train step's ray sharding; the
+    reference only shards eval by DDP rank at whole-ray granularity
+    (interface.py:31-51), which remains the cross-PROCESS layer here
+    (Trainer.test + gather_images).
 
     Returns fn(params, rays[, latents]) -> (rgb (N,3), acc (N,), depth (N,))
     device arrays; one compilation per distinct ray count N.
@@ -47,9 +58,11 @@ def make_image_renderer(
             out = model.apply(params, tile, False, white_bkgd, near, far, method=method)
         return out[-1]
 
+    n_chips = mesh.shape.get("data", 1) if mesh is not None else 1
+
     def _render(params, rays, latents):
         n = rays["rays_o"].shape[0]
-        n_pad = (-n) % chunk
+        n_pad = (-n) % (chunk * n_chips)
         tiles = {}
         for k in _RAY_KEYS:
             v = rays[k]
@@ -58,9 +71,27 @@ def make_image_renderer(
                     [v, jnp.broadcast_to(v[-1:], (n_pad, v.shape[-1]))], axis=0
                 )
             tiles[k] = v.reshape(-1, chunk, v.shape[-1])
-        rgb, acc, depth = jax.lax.map(
-            lambda tile: _tile_out(params, tile, latents), tiles
-        )
+
+        def map_tiles(params, latents, tiles):
+            return jax.lax.map(lambda tile: _tile_out(params, tile, latents), tiles)
+
+        if n_chips > 1:
+            # params/latents replicated, tile axis sharded; {} stands in for
+            # absent latents (a None leaf has no pytree spec)
+            lat = latents if latents is not None else {}
+            body = jax.shard_map(
+                map_tiles,
+                mesh=mesh,
+                in_specs=(
+                    jax.tree_util.tree_map(lambda _: P(), params),
+                    jax.tree_util.tree_map(lambda _: P(), lat),
+                    {k: P("data") for k in _RAY_KEYS},
+                ),
+                out_specs=(P("data"), P("data"), P("data")),
+            )
+            rgb, acc, depth = body(params, lat, tiles)
+        else:
+            rgb, acc, depth = map_tiles(params, latents, tiles)
         return (
             rgb.reshape(-1, 3)[:n],
             acc.reshape(-1)[:n],

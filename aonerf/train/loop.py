@@ -213,20 +213,24 @@ class Trainer:
         if self.mesh is not None and cfg.n_model_shards == 1:
             self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
         # One-dispatch tiled image renderer (lax.map over cfg.chunk-ray tiles
-        # inside a single jit) — see aonerf/eval/render.py.
+        # inside a single jit) — see aonerf/eval/render.py. With a dp mesh
+        # the tile axis is sharded over chips (chip-parallel eval; single-
+        # device-exact, tests/test_parallel.py::TestShardedEvalRender).
+        render_mesh = self._ddp_mesh()
         if cfg.exp_type == "vanilla":
             self._renderer = make_image_renderer(
-                self.model, cfg.white_back, self.near, self.far, chunk=cfg.chunk
+                self.model, cfg.white_back, self.near, self.far, chunk=cfg.chunk,
+                mesh=render_mesh,
             )
         elif cfg.exp_type == "vanilla_autodecoder":
             self._renderer = make_image_renderer(
                 self.model, cfg.white_back, self.near, self.far, chunk=cfg.chunk,
-                uses_latents=True,
+                uses_latents=True, mesh=render_mesh,
             )
         else:  # AE: render through the field submodule with encoded latents
             self._renderer = make_image_renderer(
                 self.model, cfg.white_back, self.near, self.far, chunk=cfg.chunk,
-                uses_latents=True, method=self.model.render,
+                uses_latents=True, method=self.model.render, mesh=render_mesh,
             )
         if cfg.ckpt_path:
             mgr = CheckpointManager(cfg.ckpt_path)

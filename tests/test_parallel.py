@@ -461,3 +461,51 @@ class TestArticulatedDDP:
             # this test guards against (psum-instead-of-pmean = 8x grads,
             # wrong per-chip sampling) are orders of magnitude larger
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5)
+
+
+class TestShardedEvalRender:
+    def test_image_renderer_mesh_matches_single_device(self, devices):
+        """Chip-parallel eval: the tile axis sharded over 'data' under
+        shard_map must produce the same image as the single-device renderer
+        (the eval analogue of ray-sharded training; the reference only
+        shards eval at DDP-rank granularity, interface.py:31-51)."""
+        from aonerf.eval.render import make_image_renderer
+
+        model = NeRF(num_coarse_samples=4, num_fine_samples=4)
+        buf = _buffers(n=550)  # deliberately not a multiple of chunk*chips
+        rays = {k: buf[k] for k in ("rays_o", "rays_d", "viewdirs")}
+        params = model.init(jax.random.PRNGKey(0), rays, False, True, 2.0, 6.0)
+
+        single = make_image_renderer(model, True, 2.0, 6.0, chunk=64)
+        mesh = make_mesh()
+        multi = make_image_renderer(model, True, 2.0, 6.0, chunk=64, mesh=mesh)
+        out1 = single(params, rays)
+        out8 = multi(params, rays)
+        for a, b in zip(out1, out8):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+    def test_image_renderer_mesh_latents(self, devices):
+        from aonerf.eval.render import make_image_renderer
+
+        model = ArticulatedNeRF(num_coarse_samples=4, num_fine_samples=4)
+        rng = np.random.default_rng(0)
+        lat = {
+            "density": jnp.asarray(rng.standard_normal((1, 128)), jnp.float32),
+            "color": jnp.asarray(rng.standard_normal((1, 128)), jnp.float32),
+            "articulation": jnp.asarray(rng.standard_normal((1, 32)), jnp.float32),
+        }
+        buf = _buffers(n=260)
+        rays = {k: buf[k] for k in ("rays_o", "rays_d", "viewdirs")}
+        params = model.init(jax.random.PRNGKey(0), rays, False, True, 2.0, 6.0, lat)
+        single = make_image_renderer(model, True, 2.0, 6.0, chunk=32, uses_latents=True)
+        multi = make_image_renderer(
+            model, True, 2.0, 6.0, chunk=32, uses_latents=True, mesh=make_mesh()
+        )
+        out1 = single(params, rays, lat)
+        out8 = multi(params, rays, lat)
+        for a, b in zip(out1, out8):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
