@@ -338,3 +338,86 @@ class TestDiagnostics:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
         finally:
             tr2.close()
+
+
+class TestTrainerMeshE2E:
+    """Full Trainer path with the dp mesh active (8 virtual chips): sharded
+    train steps, replicated state, and the chip-parallel eval renderer.
+
+    Runs in a SUBPROCESS: every fused step's grad all-reduce is an XLA CPU
+    rendezvous with a hard 40 s termination timeout, and on this 2-vCPU host
+    a device thread can be starved past it under pytest load — the abort
+    (rendezvous.cc:127) kills the whole process, so it must not share the
+    suite's. One retry is allowed for exactly that abort signature; real
+    failures propagate."""
+
+    _PROLOGUE = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "import sys\n"
+        "sys.path.insert(0, sys.argv[1])\n"
+        "from aonerf.train.loop import Trainer\n"
+        "from aonerf.utils.config import Config\n"
+    )
+
+    def _run(self, tmp_path, body):
+        import subprocess
+        import sys
+
+        script = tmp_path / "mesh_worker.py"
+        script.write_text(self._PROLOGUE + body)
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = None
+        for attempt in range(2):
+            r = subprocess.run(
+                [sys.executable, str(script), repo], env=env,
+                capture_output=True, text=True, timeout=900,
+            )
+            if r.returncode == 0:
+                assert "MESH_E2E_OK" in r.stdout
+                return
+            if "rendezvous" not in (r.stderr + r.stdout):
+                break  # a real failure, not the host-starvation abort
+        raise AssertionError(r.stdout[-2000:] + r.stderr[-2000:])
+
+    def test_vanilla_fit_validate_on_mesh(self, single_root, tmp_path):
+        body = f"""
+cfg = Config(root_dir={single_root!r}, output_path={str(tmp_path)!r},
+             img_wh=(40, 30), white_back=True, num_coarse_samples=16,
+             num_fine_samples=16, batch_size=256, chunk=1024, lr_init=1e-3,
+             lr_delay_steps=0, inner_steps=1, run_max_steps=1000,
+             val_every_steps=100000, ckpt_every_steps=100000,
+             exp_name='mesh_e2e')
+tr = Trainer(cfg, use_mesh=True)
+assert tr.mesh is not None and tr.mesh.shape['data'] >= 8
+v0 = tr.validate(n_images=1)['psnr']
+tr.fit(max_steps=60)
+v1 = tr.validate(n_images=1)['psnr']
+assert np.isfinite(v1) and v1 > v0 + 2.0, (v0, v1)
+tr.close()
+print('MESH_E2E_OK')
+"""
+        self._run(tmp_path, body)
+
+    def test_autodecoder_fit_validate_on_mesh(self, multi_root, tmp_path):
+        body = f"""
+cfg = Config(root_dir={multi_root!r}, output_path={str(tmp_path)!r},
+             img_wh=(32, 24), exp_type='vanilla_autodecoder',
+             dataset_name='sapien_multi', white_back=True,
+             num_coarse_samples=16, num_fine_samples=16, n_max_objs=2,
+             n_max_articulations=2, batch_size=64, chunk=1024, lr_init=1e-3,
+             lr_delay_steps=0, inner_steps=1, run_max_steps=1000,
+             val_every_steps=100000, ckpt_every_steps=100000,
+             exp_name='mesh_ad')
+tr = Trainer(cfg, use_mesh=True)
+m = tr.fit(max_steps=4)
+assert np.isfinite(m['loss'])
+val = tr.validate(n_images=1)
+assert np.isfinite(val['psnr'])
+tr.close()
+print('MESH_E2E_OK')
+"""
+        self._run(tmp_path, body)
