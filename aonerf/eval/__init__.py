@@ -12,4 +12,11 @@ from aonerf.eval.render import (  # noqa: F401
     make_image_renderer,
     render_rays_chunked,
 )
-from aonerf.eval.io import store_image, store_depth_img, write_stats  # noqa: F401
+from aonerf.eval.io import (  # noqa: F401
+    store_depth_color,
+    store_depth_img,
+    store_depth_raw,
+    store_image,
+    store_opacity,
+    write_stats,
+)

@@ -40,6 +40,53 @@ def store_depth_img(dirpath: str, depths: Sequence[np.ndarray], name: str = "dep
         np.save(os.path.join(dirpath, f"{name}{i:03d}.npy"), np.asarray(depth))
 
 
+def store_depth_raw(
+    dirpath: str, depths: Sequence[np.ndarray], name: str = "depth_raw"
+) -> None:
+    """Raw depth as millimeter uint16 PNGs — the reference's store_depth_raw
+    (models/utils.py:41-53) in the same on-disk format the datagen writes
+    (data_utils.py:89-95; aonerf.data.synthetic.write_depth_png), so eval
+    depth round-trips through viz/pointcloud alongside the dataset's own
+    depth maps. Non-finite values (empty rays) store as 0."""
+    os.makedirs(dirpath, exist_ok=True)
+    for i, depth in enumerate(depths):
+        d = np.asarray(depth, dtype=np.float64)
+        mm = np.where(np.isfinite(d), np.rint(d * 1000.0), 0.0)
+        mm = np.clip(mm, 0, np.iinfo(np.uint16).max).astype(np.uint16)
+        Image.fromarray(mm, mode="I;16").save(
+            os.path.join(dirpath, f"{name}{i:03d}.png")
+        )
+
+
+def store_depth_color(
+    dirpath: str, depths: Sequence[np.ndarray], name: str = "depth"
+) -> None:
+    """Colormapped depth PNGs (+ raw .npy for pointcloud back-projection) —
+    the reference's store_depth_img (models/utils.py:29-39), using the same
+    colormap as the val grids (eval/viz.py::colorize_depth)."""
+    from aonerf.eval.viz import colorize_depth
+
+    os.makedirs(dirpath, exist_ok=True)
+    for i, depth in enumerate(depths):
+        Image.fromarray(colorize_depth(np.asarray(depth))).save(
+            os.path.join(dirpath, f"{name}{i:03d}.png")
+        )
+        np.save(os.path.join(dirpath, f"{name}{i:03d}.npy"), np.asarray(depth))
+
+
+def store_opacity(
+    dirpath: str, accs: Sequence[np.ndarray], name: str = "opacity"
+) -> None:
+    """Accumulated-opacity maps as grayscale PNGs (the acc channel the
+    reference logs in its val grids, train_helper.py:311-332)."""
+    os.makedirs(dirpath, exist_ok=True)
+    for i, acc in enumerate(accs):
+        a = np.clip(np.nan_to_num(np.asarray(acc, np.float64)), 0.0, 1.0)
+        Image.fromarray((a * 255).astype(np.uint8), mode="L").save(
+            os.path.join(dirpath, f"{name}{i:03d}.png")
+        )
+
+
 def store_video(dirpath: str, rgbs: Sequence[np.ndarray], name: str = "video") -> str:
     """mp4 export of a rendered sequence (20 fps, as the reference)."""
     try:

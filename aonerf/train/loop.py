@@ -216,7 +216,15 @@ class Trainer:
         # inside a single jit) — see aonerf/eval/render.py. With a dp mesh
         # the tile axis is sharded over chips (chip-parallel eval; single-
         # device-exact, tests/test_parallel.py::TestShardedEvalRender).
-        render_mesh = self._ddp_mesh()
+        # Multi-process runs keep the renderer UNMESHED: Trainer.test()
+        # shards at image granularity across processes (each host renders a
+        # different slice, different call counts), which is incompatible
+        # with a cross-process shard_map — divergent programs would deadlock
+        # the collective. Cross-process parallelism stays at the
+        # test()/gather_images layer (the reference's DDP-rank eval split,
+        # interface.py:31-51); in-process chip parallelism applies only when
+        # this process owns the whole mesh.
+        render_mesh = self._ddp_mesh() if jax.process_count() == 1 else None
         if cfg.exp_type == "vanilla":
             self._renderer = make_image_renderer(
                 self.model, cfg.white_back, self.near, self.far, chunk=cfg.chunk,
@@ -424,13 +432,27 @@ class Trainer:
                 if i == 0 and self._is_main:
                     self._save_val_grid(s.target, rgb, depth, acc)
         else:
-            n = n_images or 1
+            n = n_images or cfg.limit_val_batches
             ds = self.val_dataset
             held_out = bool(getattr(ds, "uses_val_split", False))
-            for _ in range(n):
-                ii = int(self.rng.integers(ds.n_instances))
-                di = int(self.rng.integers(ds.n_articulations(ii)))
-                vi = int(self.rng.integers(ds.n_images(ii, di)))
+            # Deterministic rotating coverage (reference limit_val_batches=5,
+            # run.py:107,148): each validate() call renders ``n`` consecutive
+            # entries of the flattened (view, articulation, instance) grid,
+            # offset by the current step, so (a) a given step always scores
+            # the same views (the val/psnr stream driving best-ckpt retention
+            # is a stable multi-view mean, not one random draw) and (b)
+            # successive calls rotate through the whole grid. Instances vary
+            # fastest so even a single call spans instances.
+            step_now = int(jax.device_get(self.state.step))
+            base = (step_now // max(1, cfg.val_every_steps)) * n
+            first = True
+            for k in range(n):
+                g = base + k
+                ii = g % ds.n_instances
+                g //= ds.n_instances
+                di = g % ds.n_articulations(ii)
+                g //= ds.n_articulations(ii)
+                vi = g % ds.n_images(ii, di)
                 img = ds.get_image(ii, di, vi)
                 rays = {k: jnp.asarray(img[k]) for k in ("rays_o", "rays_d", "viewdirs")}
                 if held_out and cfg.exp_type == "vanilla_autodecoder":
@@ -452,11 +474,12 @@ class Trainer:
                     np.asarray(x)
                     for x in self._renderer(render_params, rays, latents)
                 )
-                if not psnrs and self._is_main:
+                if first and self._is_main:
                     # first val image: GT/pred/depth/opacity grid (the
                     # reference's rank-0 wandb val images for the articulated
                     # systems, model_autodecoder.py:571-580)
                     self._save_val_grid(img["target"], rgb, depth, acc)
+                first = False
                 target = jnp.asarray(img["target"])
                 psnrs.append(float(psnr_image(jnp.asarray(rgb), target)))
                 obj_psnrs.append(
@@ -478,10 +501,13 @@ class Trainer:
 
         cfg = self.cfg
         w, h = cfg.img_wh
-        n_images = self.dataset.num_images if cfg.exp_type == "vanilla" else 19
+        n_images = (
+            self.dataset.num_images if cfg.exp_type == "vanilla"
+            else cfg.test_sweep_poses
+        )
         start, stop = local_shard_bounds(n_images)
 
-        local_rgbs, targets, masks = [], [], []
+        local_rgbs, local_depths, local_accs, targets, masks = [], [], [], [], []
         for i in range(n_images):
             if cfg.exp_type == "vanilla":
                 s = self.dataset.get_image(i)
@@ -493,23 +519,36 @@ class Trainer:
                         "rays_d": jnp.asarray(s.rays_d),
                         "viewdirs": jnp.asarray(s.viewdirs),
                     }
-                    rgb = np.asarray(self._renderer(self.state.params, rays)[0])
+                    rgb, acc, depth = (
+                        np.asarray(x) for x in self._renderer(self.state.params, rays)
+                    )
                     local_rgbs.append(rgb.reshape(h, w, 3))
-            else:  # interpolated articulation sweep
-                img = self.dataset.get_test_image(0, i)
+                    local_depths.append(depth.reshape(h, w))
+                    local_accs.append(acc.reshape(h, w))
+            else:  # interpolated articulation sweep (cfg.render_instance)
+                img = self.dataset.get_test_image(cfg.render_instance, i)
                 targets.append(img["target"].reshape(h, w, 3))
                 masks.append(img["instance_mask"].reshape(h, w))
                 if start <= i < stop:
                     rays = {k: jnp.asarray(img[k]) for k in ("rays_o", "rays_d", "viewdirs")}
                     render_params, latents = self._render_setup(img, is_test=True)
-                    rgb = np.asarray(self._renderer(render_params, rays, latents)[0])
+                    rgb, acc, depth = (
+                        np.asarray(x)
+                        for x in self._renderer(render_params, rays, latents)
+                    )
                     local_rgbs.append(rgb.reshape(h, w, 3))
-        local = (
-            np.stack(local_rgbs)
-            if local_rgbs
-            else np.zeros((0, h, w, 3), np.float32)
-        )
-        rgbs = list(gather_images(local, n_images))
+                    local_depths.append(depth.reshape(h, w))
+                    local_accs.append(acc.reshape(h, w))
+
+        def _gather(stack, shape):
+            local = (
+                np.stack(stack) if stack else np.zeros((0, *shape), np.float32)
+            )
+            return list(gather_images(local, n_images))
+
+        rgbs = _gather(local_rgbs, (h, w, 3))
+        depths = _gather(local_depths, (h, w))
+        accs = _gather(local_accs, (h, w))
 
         psnr = summarize_metric(
             [psnr_image(jnp.asarray(a), jnp.asarray(b)) for a, b in zip(rgbs, targets)]
@@ -542,6 +581,14 @@ class Trainer:
         if self._is_main:  # rank-0 writes (reference model.py:497-505)
             image_dir = os.path.join(self.run_dir, cfg.render_name)
             store_image(image_dir, rgbs, "image")
+            # depth (colormapped + raw mm-u16, the datagen's on-disk format —
+            # round-trips through viz/pointcloud) and opacity sequences
+            # alongside rgb (reference models/utils.py:29-53)
+            from aonerf.eval.io import store_depth_color, store_depth_raw, store_opacity
+
+            store_depth_color(image_dir, depths)
+            store_depth_raw(image_dir, depths)
+            store_opacity(image_dir, accs)
             # video alongside the jpg sequence (interface.py:198-202): mp4
             # when an ffmpeg backend exists, animated GIF (pure PIL) otherwise
             from aonerf.eval.io import store_gif, store_video

@@ -108,6 +108,12 @@ class Config:
     optimize_lr: float = 1.0e-2
     val_every_steps: int = 1000
     limit_val_batches: int = 5
+    # articulated test(): which instance the spheric sweep renders, and how
+    # many spheric poses / interpolated articulation ids it walks (the
+    # reference hardcodes instance 0 and 19 = 2*10-1 poses,
+    # model_autodecoder.py:584-602, sapien_multi.py:152)
+    render_instance: int = 0
+    test_sweep_poses: int = 19
     ckpt_path: Optional[str] = None
     weight_path: Optional[str] = None
 

@@ -212,6 +212,44 @@ class TestIO:
         stats = json.load(open(tmp_path / "results.json"))
         assert stats["psnr"]["test"] == 30.0
 
+    def test_store_depth_raw_roundtrips_mm_u16(self, tmp_path):
+        """Raw eval depth uses the datagen's mm-uint16 PNG format
+        (reference models/utils.py:41-53; data_utils.py:89-95), so it
+        reloads to meters within quantization (0.5 mm) and empty rays
+        (inf depth) store as 0."""
+        from PIL import Image
+
+        from aonerf.eval.io import store_depth_raw
+
+        depth = np.linspace(0.1, 5.9, 48).reshape(6, 8)
+        depth[0, 0] = np.inf  # empty ray
+        store_depth_raw(str(tmp_path), [depth])
+        arr = np.asarray(Image.open(tmp_path / "depth_raw000.png"))
+        assert arr.dtype.itemsize >= 2  # 16-bit container
+        back = arr.astype(np.float64) / 1000.0
+        assert back[0, 0] == 0.0
+        finite = np.isfinite(depth)
+        np.testing.assert_allclose(back[finite], depth[finite], atol=5.5e-4)
+
+    def test_store_depth_color_npy_backprojects(self, tmp_path):
+        """Colormapped depth ships with the raw .npy that
+        viz/pointcloud.depth_to_points consumes (the round-trip the raw
+        depth output exists for)."""
+        from aonerf.eval.io import store_depth_color, store_opacity
+        from aonerf.viz.pointcloud import depth_to_points
+
+        depth = np.full((6, 8), 4.0)
+        store_depth_color(str(tmp_path), [depth])
+        assert os.path.exists(tmp_path / "depth000.png")
+        loaded = np.load(tmp_path / "depth000.npy")
+        np.testing.assert_array_equal(loaded, depth)
+        c2w = np.eye(3, 4, dtype=np.float32)
+        pts = depth_to_points(loaded, c2w, focal=20.0, stride=1)
+        assert pts.shape[1] == 3 and np.isfinite(pts).all()
+
+        store_opacity(str(tmp_path), [np.clip(depth / 8.0, 0, 1)])
+        assert os.path.exists(tmp_path / "opacity000.png")
+
 
 class TestVideoWriters:
     def test_store_gif_writes_animated_gif(self, tmp_path):

@@ -33,6 +33,7 @@ def main() -> None:
     p.add_argument("--grad-clip", type=float, default=1.0)
     p.add_argument("--latent-dense", action="store_true", default=True)
     p.add_argument("--no-latent-dense", dest="latent_dense", action="store_false")
+    p.add_argument("--cond-dense", action="store_true")
     p.add_argument("--fused", action="store_true")
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--trace-dir", type=str, default=None)
