@@ -235,3 +235,81 @@ def nerf_forward_np(params, rays_o, rays_d, viewdirs, n_coarse, n_fine, near, fa
         comp, acc, weights, depth = volumetric_rendering_np(rgb, sigma, t, rays_d, white_bkgd)
         out.append((comp, acc, weights, depth))
     return out
+
+
+# --------------------------------------------------------------------- LPIPS
+
+# VGG16 .features structure, re-derived from the architecture itself (conv
+# channel plan + maxpool placement), NOT imported from aonerf.eval.lpips:
+# 13 convs of 3x3/pad1; maxpool after convs 2, 4, 7, 10 (and 13, which LPIPS
+# never reaches past); LPIPS taps the relu AFTER convs 2, 4, 7, 10, 13
+# (relu1_2, relu2_2, relu3_3, relu4_3, relu5_3).
+_VGG16_PLAN = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512]
+# torchvision nn.Sequential indices of the conv layers (conv,relu pairs with
+# maxpools interleaved): derived by walking the plan.
+_VGG16_CONV_TORCH_IDX = []
+_i = 0
+for _e in _VGG16_PLAN:
+    if _e == "M":
+        _i += 1
+    else:
+        _VGG16_CONV_TORCH_IDX.append(_i)
+        _i += 2
+_LPIPS_TAP_CONVS = (1, 3, 6, 9, 12)  # 0-based conv counts of the relu taps
+
+# piqa/lpips input scaling constants (the official LPIPS ScalingLayer).
+_LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float64)
+_LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float64)
+
+
+def _conv3x3_np(x, kernel, bias):
+    """'SAME' 3x3 conv, fp64, via explicit padding + sliding-window einsum.
+    x (H, W, Cin); kernel (3, 3, Cin, Cout) HWIO; bias (Cout,)."""
+    xp = np.pad(x.astype(np.float64), ((1, 1), (1, 1), (0, 0)))
+    win = np.lib.stride_tricks.sliding_window_view(xp, (3, 3), axis=(0, 1))
+    # win: (H, W, Cin, 3, 3) -> contract against kernel (3, 3, Cin, Cout)
+    return np.einsum("hwcij,ijco->hwo", win, kernel.astype(np.float64)) + bias
+
+
+def _maxpool2_np(x):
+    h, w, c = x.shape
+    return x[: h - h % 2, : w - w % 2].reshape(h // 2, 2, w // 2, 2, c).max(axis=(1, 3))
+
+
+def lpips_np(params, pred, target):
+    """fp64 NumPy re-derivation of the LPIPS (VGG16) perceptual distance the
+    reference computes through piqa (models/interface.py:113-123):
+    scale inputs -> VGG16 features -> channel-unit-normalize each tap ->
+    squared diff -> 1x1 linear head -> spatial mean -> sum over taps.
+
+    params: the export_lpips_weights.py .npz layout (features_{i}_kernel/
+    _bias HWIO, lin_{j}_kernel). pred/target: (H, W, 3) in [0, 1].
+    """
+
+    def features(img):
+        x = img.astype(np.float64) * 2.0 - 1.0
+        x = (x - _LPIPS_SHIFT) / _LPIPS_SCALE
+        feats = []
+        for ci, torch_idx in enumerate(_VGG16_CONV_TORCH_IDX):
+            x = _conv3x3_np(
+                x, params[f"features_{torch_idx}_kernel"],
+                params[f"features_{torch_idx}_bias"],
+            )
+            x = np.maximum(x, 0.0)  # relu
+            if ci in _LPIPS_TAP_CONVS:
+                feats.append(x)
+                if len(feats) == 5:
+                    break
+                x = _maxpool2_np(x)  # taps 1..4 precede a maxpool
+        return feats
+
+    fx, fy = features(pred), features(target)
+    total = 0.0
+    for j, (a, b) in enumerate(zip(fx, fy)):
+        an = a / np.sqrt((a**2).sum(axis=-1, keepdims=True) + 1e-10)
+        bn = b / np.sqrt((b**2).sum(axis=-1, keepdims=True) + 1e-10)
+        d = (an - bn) ** 2
+        w = params[f"lin_{j}_kernel"].astype(np.float64)
+        total += (d * w).sum(axis=-1).mean()
+    return total
