@@ -60,6 +60,60 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     return {k: place(v) for k, v in batch.items()}
 
 
+# SapienMultiDataset.device_buffers() arrays carrying a per-view axis
+# (instances, articulations, VIEWS, ...): these shard over 'data' by view.
+_VIEW_SHARDED_KEYS = ("rgb", "mask", "c2w")
+
+
+def multi_buffer_specs(sharded: bool) -> Any:
+    """shard_map in_specs pytree for the articulated scene buffers:
+    view-axis-sharded (rgb/mask/c2w split on axis 2 over 'data') when
+    ``sharded``, else fully replicated. Must mirror shard_multi_buffers."""
+    if not sharded:
+        return P()
+    view = P(None, None, "data")
+    return {
+        "rgb": view, "mask": view, "c2w": view, "deg": P(), "directions": P()
+    }
+
+
+def shard_multi_buffers(mesh: Mesh, buffers: Dict[str, Any]) -> Dict[str, Any]:
+    """Place SapienMultiDataset.device_buffers() on the mesh with the VIEW
+    axis sharded over 'data' — each chip's HBM holds only n_views/n_chips of
+    the scene images instead of a full replica (the design that survives the
+    reference's real articulated scale: its 320x240 x 10-articulation x
+    ~100-view x many-instance datasets do not fit one chip replicated; see
+    RESULTS.md HBM accounting). deg/directions stay replicated (tiny).
+
+    The per-chip DDP sampling (train.step sharded_views=True) then draws each
+    chip's (instance, articulation, view, pixels) from its LOCAL view slice —
+    no cross-chip gather ever touches the image buffers; gradients are still
+    pmean'd, so the global batch semantics match the replicated path with
+    per-chip view pools.
+
+    A view count not divisible by the data-axis size is padded CYCLICALLY
+    (view v appears again as v % n_views), which oversamples the first
+    ``pad`` views by one slot — the same uniform-over-slots semantics the
+    replicated sampler has over its slots.
+    """
+    n_chips = mesh.shape["data"]
+    rep = replicated_sharding(mesh)
+    view_sh = NamedSharding(mesh, P(None, None, "data"))
+    out = {}
+    for k, v in buffers.items():
+        arr = np.asarray(v)
+        if k in _VIEW_SHARDED_KEYS:
+            n_v = arr.shape[2]
+            pad = (-n_v) % n_chips
+            if pad:
+                idx = np.arange(n_v + pad) % n_v
+                arr = arr[:, :, idx]
+            out[k] = jax.device_put(arr, view_sh)
+        else:
+            out[k] = jax.device_put(arr, rep)
+    return out
+
+
 def tp_param_spec(params: Any, n_model: int, min_width: int = 128) -> Any:
     """PartitionSpec pytree for tensor parallelism: Dense kernels have their
     width-``min_width``+ output dim sharded over 'model'; everything else is

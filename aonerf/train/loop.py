@@ -153,6 +153,17 @@ class Trainer:
             return self.mesh
         return None
 
+    def _sharded_scene_buffers(self) -> bool:
+        """True when the articulated scene buffers are view-sharded over the
+        data mesh axis instead of replicated (cfg.shard_scene_buffers on a
+        >1-chip DDP mesh)."""
+        mesh = self._ddp_mesh()
+        return (
+            self.cfg.shard_scene_buffers
+            and mesh is not None
+            and mesh.shape.get("data", 1) > 1
+        )
+
     def _init_state(self) -> None:
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
@@ -190,6 +201,7 @@ class Trainer:
                 opacity_lambda=cfg.opacity_lambda,
                 mesh=self._ddp_mesh(),
                 views_per_step=cfg.ae_views_per_step,
+                sharded_views=self._sharded_scene_buffers(),
             )
         else:
             lib_params = self.code_library.init(key, jnp.asarray(0), jnp.asarray(0))
@@ -206,6 +218,7 @@ class Trainer:
                 randomized=cfg.randomized, lr_fn=self.lr_fn,
                 inner_steps=self._inner_steps,
                 mesh=self._ddp_mesh(),
+                sharded_views=self._sharded_scene_buffers(),
             )
         if self.mesh is not None:
             params = shard_params(self.mesh, params, tp=cfg.n_model_shards > 1)
@@ -277,8 +290,10 @@ class Trainer:
                 buffers = shard_batch(self.mesh, buffers)
         elif cfg.exp_type in ("vanilla_autodecoder", "vanilla_ae_art"):
             # whole multi-config dataset resident in HBM; per-step sampling
-            # happens inside the jitted step (replicated across the mesh —
-            # the scene images are small relative to HBM)
+            # happens inside the jitted step. On a DDP mesh the image
+            # buffers are view-SHARDED over 'data' by default (each chip
+            # holds + samples only its slice — per-chip HBM scales down with
+            # the mesh; shard_scene_buffers=false restores full replication)
             try:
                 buffers = {k: jnp.asarray(v) for k, v in self.dataset.device_buffers().items()}
             except ValueError:
@@ -296,9 +311,14 @@ class Trainer:
                 )
                 self._inner_steps = 1
             if buffers is not None and self.mesh is not None:
-                from aonerf.parallel import replicated_sharding
+                if self._sharded_scene_buffers():
+                    from aonerf.parallel import shard_multi_buffers
 
-                buffers = jax.device_put(buffers, replicated_sharding(self.mesh))
+                    buffers = shard_multi_buffers(self._ddp_mesh(), buffers)
+                else:
+                    from aonerf.parallel import replicated_sharding
+
+                    buffers = jax.device_put(buffers, replicated_sharding(self.mesh))
 
         stride = getattr(self, "_inner_steps", 1) if buffers is not None else 1
         profiling = False

@@ -34,13 +34,21 @@ def _data_axis(mesh: Optional[Mesh]) -> Optional[str]:
     return None
 
 
-def _ddp_shard_map(fn: Callable, mesh: Mesh) -> Callable:
+def _ddp_shard_map(
+    fn: Callable, mesh: Mesh, buffer_specs: Optional[Any] = None
+) -> Callable:
     """shard_map a (state, buffers, base_key) -> (state, metrics) step body
-    over the whole mesh with everything replicated: the per-chip variation
-    comes only from fold_in(key, axis_index('data')) inside the body, and
-    pmean makes every output replicated again."""
+    over the whole mesh. Default: everything replicated — the per-chip
+    variation comes only from fold_in(key, axis_index('data')) inside the
+    body, and pmean makes every output replicated again. ``buffer_specs``
+    (see parallel.multi_buffer_specs) shards the scene buffers instead:
+    each chip's body then sees only its LOCAL view slice (the sampler reads
+    local shapes, so per-chip sampling stays in-slice with no code change)."""
     return jax.shard_map(
-        fn, mesh=mesh, in_specs=(P(), P(), P()), out_specs=(P(), P())
+        fn,
+        mesh=mesh,
+        in_specs=(P(), buffer_specs if buffer_specs is not None else P(), P()),
+        out_specs=(P(), P()),
     )
 
 
@@ -380,12 +388,13 @@ def make_autodecoder_device_train_step(
     lr_fn: Callable = log_lerp_lr,
     inner_steps: int = 1,
     mesh: Optional[Mesh] = None,
+    sharded_views: bool = False,
 ) -> Callable:
     """Fully on-device auto-decoder step: multi-config batch sampling
     (sample_multi_batch) + render + losses + Adam fused into ONE compiled
     program; ``inner_steps`` > 1 scan-fuses that many optimizer steps per
     dispatch. step(state, buffers, base_key) -> (state, metrics); ``buffers``
-    from SapienMultiDataset.device_buffers(), uploaded once (replicated).
+    from SapienMultiDataset.device_buffers(), uploaded once.
 
     ``mesh`` with >1 chip on its 'data' axis enables data parallelism with
     the reference's DDP semantics (run.py:109-111; README.md:105 trains the
@@ -393,11 +402,22 @@ def make_autodecoder_device_train_step(
     articulation, view, ``batch_size`` pixels) — the per-chip PRNG key is
     fold_in(step_key, axis_index('data')) — and gradients are pmean'd, so
     the effective global batch is n_chips * batch_size. Params must be
-    replicated (no tp on this path)."""
+    replicated (no tp on this path).
+
+    ``sharded_views`` (requires a DDP mesh): the scene buffers arrive
+    VIEW-SHARDED over 'data' (parallel.shard_multi_buffers) instead of
+    replicated — each chip stores and samples only its n_views/n_chips view
+    slice, so HBM per chip scales down with the mesh (the replicated path
+    cannot hold the reference's real articulated scale on one chip). The
+    sampler body is unchanged: inside shard_map it sees the local shapes.
+    Sharded-vs-local-slice-oracle exactness is pinned by
+    tests/test_parallel.py::TestShardedSceneBuffers."""
     loss_fn = _autodecoder_loss_fn(
         model, code_library, white_bkgd, near, far, randomized, reg_weight
     )
     axis = _data_axis(mesh)
+    if sharded_views and axis is None:
+        raise ValueError("sharded_views requires a mesh with >1 'data' chip")
 
     def one_step(state: TrainState, buffers, base_key):
         key = jax.random.fold_in(base_key, state.step)
@@ -435,5 +455,7 @@ def make_autodecoder_device_train_step(
             return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
     if axis is not None:
-        fn = _ddp_shard_map(fn, mesh)
+        from aonerf.parallel import multi_buffer_specs
+
+        fn = _ddp_shard_map(fn, mesh, multi_buffer_specs(sharded_views))
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

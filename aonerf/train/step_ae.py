@@ -152,6 +152,7 @@ def make_ae_device_train_step(
     photometric: str = "masked",
     mesh: Optional[Mesh] = None,
     views_per_step: int = 1,
+    sharded_views: bool = False,
 ) -> Callable:
     """Fully on-device auto-encoder step: (instance, articulation, view,
     pixel) sampling AND the source-image gather + [-1,1] normalization happen
@@ -177,6 +178,11 @@ def make_ae_device_train_step(
     articulation, view, pixels) — so each chip ALSO encodes its own source
     view — and pmean'd grads; global batch = n_chips * batch_size (and
     n_chips source views per step).
+
+    ``sharded_views`` (requires the DDP mesh): buffers arrive view-sharded
+    over 'data' (parallel.shard_multi_buffers); each chip samples — and
+    encodes — only views from its local slice, cutting per-chip HBM by the
+    mesh size. See make_autodecoder_device_train_step.
     """
     if views_per_step > 1 and batch_size % views_per_step != 0:
         raise ValueError(
@@ -190,6 +196,8 @@ def make_ae_device_train_step(
     )
     w, h = img_wh
     axis = _data_axis(mesh)
+    if sharded_views and axis is None:
+        raise ValueError("sharded_views requires a mesh with >1 'data' chip")
 
     def one_step(state: TrainState, buffers, base_key):
         key = jax.random.fold_in(base_key, state.step)
@@ -232,5 +240,7 @@ def make_ae_device_train_step(
             return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
     if axis is not None:
-        fn = _ddp_shard_map(fn, mesh)
+        from aonerf.parallel import multi_buffer_specs
+
+        fn = _ddp_shard_map(fn, mesh, multi_buffer_specs(sharded_views))
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

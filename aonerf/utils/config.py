@@ -142,6 +142,12 @@ class Config:
 
     # parallelism
     n_model_shards: int = 1
+    # articulated modes on a >1-chip data mesh: shard the scene image
+    # buffers over 'data' by VIEW (each chip holds + samples only its
+    # n_views/n_chips slice — per-chip HBM scales down with the mesh;
+    # parallel.shard_multi_buffers) instead of replicating the whole
+    # dataset per chip. Gradients stay pmean'd either way.
+    shard_scene_buffers: bool = True
 
     # backend: None = whatever jax picks (TPU when available); "cpu" forces
     # the host backend even when a sitecustomize force-registers a TPU

@@ -183,6 +183,13 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--exp-type", "--exp_type", dest="exp_type",
                    choices=sorted(_MODE_DEFAULTS), default="vanilla")
+    p.add_argument("--all", dest="all_modes", action="store_true",
+                   help="bench ALL THREE modes in one run and write "
+                        "bench_all.json (per-mode rays/s + vs_baseline); "
+                        "stdout still prints the driver-contract single "
+                        "vanilla JSON line. The per-round artifact that "
+                        "makes autodecoder/ae regressions visible "
+                        "(VERDICT r3 weak #3).")
     p.add_argument("--batch-size", type=int, default=None,
                    help="rays per optimizer step (default: per-mode best)")
     p.add_argument("--steps", type=int, default=12, help="outer (timed) calls")
@@ -227,6 +234,42 @@ def main() -> None:
                         "with device compute")
     args = p.parse_args()
 
+    # A cold compile of the full train step takes 60-90 s on this runtime
+    # (remote compile helper); cache it so only the first-ever run pays.
+    # Must be set before jax imports — the driver does not set it (round 2's
+    # BENCH artifact died to exactly this, VERDICT.md "What's weak" #1).
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/aonerf_jax_cache")
+    t_start = time.perf_counter()
+
+    if args.all_modes:
+        results = {}
+        modes = ["vanilla", "autodecoder", "ae"]  # vanilla first: it is the
+        # driver-contract stdout line, so it gets the freshest budget
+        for i, mode in enumerate(modes):
+            # slice the remaining wall-clock budget evenly over what's left
+            sub = argparse.Namespace(**vars(args))
+            sub.exp_type = mode
+            sub.batch_size = sub.inner_steps = sub.views_per_step = None
+            remaining = args.budget_s - (time.perf_counter() - t_start)
+            sub.budget_s = max(30.0, remaining / (len(modes) - i))
+            results[mode] = _bench_mode(sub, time.perf_counter())
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_all.json"), "w") as f:
+            json.dump(results, f, indent=1)
+        _log(f"bench_all.json: " + " ".join(
+            f"{m}={r['value']:.0f}({r['vs_baseline']:.3f}x)"
+            for m, r in results.items()
+        ))
+        print(json.dumps(results["vanilla"]))  # driver-contract single line
+        return
+
+    print(json.dumps(_bench_mode(args, t_start)))
+
+
+def _bench_mode(args, t_start: float) -> dict:
+    """Build + warm up + measure one mode; ratchets bench_baseline.json and
+    returns the result record. ``args.budget_s`` bounds this mode's wall
+    clock from ``t_start``."""
     defaults = _MODE_DEFAULTS[args.exp_type]
     if args.batch_size is None:
         args.batch_size = defaults["batch_size"]
@@ -234,13 +277,6 @@ def main() -> None:
         args.inner_steps = defaults["inner_steps"]
     if args.views_per_step is None:
         args.views_per_step = defaults.get("views_per_step", 1)
-
-    # A cold compile of the full train step takes 60-90 s on this runtime
-    # (remote compile helper); cache it so only the first-ever run pays.
-    # Must be set before jax imports — the driver does not set it (round 2's
-    # BENCH artifact died to exactly this, VERDICT.md "What's weak" #1).
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/aonerf_jax_cache")
-    t_start = time.perf_counter()
 
     import jax
     import jax.numpy as jnp
@@ -320,16 +356,12 @@ def main() -> None:
             json.dump(book, f, indent=1)
 
     suffix = "" if args.exp_type == "vanilla" else f"_{args.exp_type}"
-    print(
-        json.dumps(
-            {
-                "metric": f"rays_per_sec_per_chip_fwd_bwd{suffix}",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(vs_baseline, 4),
-            }
-        )
-    )
+    return {
+        "metric": f"rays_per_sec_per_chip_fwd_bwd{suffix}",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs_baseline, 4),
+    }
 
 
 if __name__ == "__main__":

@@ -509,3 +509,160 @@ class TestShardedEvalRender:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
             )
+
+
+class TestShardedSceneBuffers:
+    """View-sharded articulated scene buffers (VERDICT r3 next-round #1):
+    each chip stores only its n_views/n_chips slice of the image buffers
+    (shard_multi_buffers) and its DDP sampling draws from that local slice.
+    The sharded step must equal a single-device oracle that replays each
+    chip's sampling ON ITS SLICE, the compiled program must never all-gather
+    the image buffers, and per-chip HBM must actually shrink."""
+
+    def _setup(self, n_v=16):
+        from aonerf.train.step import sample_multi_batch
+
+        model = ArticulatedNeRF(num_coarse_samples=4, num_fine_samples=4)
+        lib = CodeLibraryArticulated(n_max_objs=2)
+        buffers = _multi_buffers(n_v=n_v)
+        batch_size = 16
+        lib_params = lib.init(jax.random.PRNGKey(1), jnp.asarray(0), jnp.asarray(0))
+        latents = lib.apply(lib_params, jnp.asarray(0), jnp.asarray(0))
+        latents = {k: jnp.atleast_2d(v) for k, v in latents.items()}
+        dummy = sample_multi_batch(buffers, jax.random.PRNGKey(0), batch_size)
+        model_params = model.init(
+            jax.random.PRNGKey(0), dummy, False, True, 2.0, 6.0, latents
+        )
+        params = {"model": model_params, "codes": lib_params}
+        return model, lib, buffers, batch_size, params
+
+    def test_buffers_actually_sharded(self, devices):
+        from aonerf.parallel import shard_multi_buffers
+
+        mesh = make_mesh()
+        n_chips = mesh.shape["data"]
+        buffers = _multi_buffers(n_v=2 * n_chips)
+        placed = shard_multi_buffers(mesh, buffers)
+        for k in ("rgb", "mask", "c2w"):
+            shards = placed[k].addressable_shards
+            assert len(shards) == n_chips
+            # each chip holds exactly its 2-view slice, 1/n_chips of the data
+            assert shards[0].data.shape[2] == 2
+            assert shards[0].data.nbytes * n_chips == placed[k].nbytes
+        assert placed["directions"].sharding.spec == P()
+
+    def test_nondivisible_views_pad_cyclically(self, devices):
+        from aonerf.parallel import shard_multi_buffers
+
+        mesh = make_mesh()
+        n_chips = mesh.shape["data"]
+        n_v = 3
+        assert n_v % n_chips != 0
+        buffers = _multi_buffers(n_v=n_v)
+        placed = shard_multi_buffers(mesh, buffers)
+        padded = np.asarray(placed["rgb"])
+        total = padded.shape[2]
+        assert total % n_chips == 0
+        src = np.asarray(buffers["rgb"])
+        for v in range(total):
+            np.testing.assert_array_equal(padded[:, :, v], src[:, :, v % n_v])
+
+    def test_sharded_step_matches_local_slice_oracle(self, devices):
+        """The design's correctness anchor: a sharded-buffer DDP step equals
+        a single-device replay where chip d samples (with its fold_in(key, d)
+        stream) from view slice [d*local : (d+1)*local] and grads are
+        averaged — i.e. sharding changes WHERE each chip's views live, and
+        nothing about the math."""
+        from aonerf.parallel import shard_multi_buffers
+        from aonerf.train.step import (
+            _autodecoder_loss_fn,
+            make_autodecoder_device_train_step,
+            sample_multi_batch,
+        )
+
+        model, lib, buffers, batch_size, params = self._setup(n_v=16)
+        tx = optax.sgd(1e-2)  # linear in grads (see TestArticulatedDDP)
+        base_key = jax.random.PRNGKey(13)
+
+        mesh = make_mesh()
+        n_chips = mesh.shape["data"]
+        local_v = 16 // n_chips
+        step = make_autodecoder_device_train_step(
+            model, lib, tx, white_bkgd=True, near=2.0, far=6.0,
+            batch_size=batch_size, donate=False, mesh=mesh, sharded_views=True,
+        )
+        state = create_train_state(params, tx)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        buf_sh = shard_multi_buffers(mesh, buffers)
+        state_sh, m_sh = step(state, buf_sh, base_key)
+
+        # the image buffers are never gathered: the only collective is the
+        # gradient all-reduce
+        hlo = step.lower(state, buf_sh, base_key).compile().as_text()
+        assert hlo.count("all-gather") == 0
+        assert hlo.count("all-reduce") >= 1
+
+        loss_fn = _autodecoder_loss_fn(model, lib, True, 2.0, 6.0, True, 1e-4)
+        key = jax.random.fold_in(base_key, 0)  # state.step == 0
+        losses, grads_acc = [], None
+        for d in range(n_chips):
+            kd = jax.random.fold_in(key, d)
+            sample_key, render_key = jax.random.split(kd)
+            local = {
+                k: (v[:, :, d * local_v : (d + 1) * local_v]
+                    if k in ("rgb", "mask", "c2w") else v)
+                for k, v in buffers.items()
+            }
+            batch = sample_multi_batch(local, sample_key, batch_size)
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, render_key
+            )
+            losses.append(float(loss))
+            grads_acc = grads if grads_acc is None else jax.tree_util.tree_map(
+                jnp.add, grads_acc, grads
+            )
+        grads_mean = jax.tree_util.tree_map(lambda g: g / n_chips, grads_acc)
+        updates, _ = tx.update(grads_mean, tx.init(params), params)
+        want_params = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(float(m_sh["loss"]), np.mean(losses), rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state_sh.params),
+            jax.tree_util.tree_leaves(want_params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+
+    def test_ae_sharded_step_runs_and_keeps_buffers_local(self, devices):
+        from aonerf.models.ae import AutoEncoderArticulatedNeRF
+        from aonerf.parallel import shard_multi_buffers
+        from aonerf.train.step import sample_multi_batch
+        from aonerf.train.step_ae import make_ae_device_train_step
+
+        h, w = 12, 16
+        model = AutoEncoderArticulatedNeRF(num_coarse_samples=4, num_fine_samples=4)
+        buffers = _multi_buffers(h=h, w=w, n_v=16)
+        batch_size = 8
+        dummy = sample_multi_batch(buffers, jax.random.PRNGKey(0), batch_size, src_hw=(h, w))
+        params = model.init(
+            jax.random.PRNGKey(0), dummy, dummy["src_imgs"][None], dummy["deg"],
+            False, True, 2.0, 6.0,
+        )
+        tx = optax.sgd(1e-2)
+        mesh = make_mesh()
+        step = make_ae_device_train_step(
+            model, tx, white_bkgd=True, near=2.0, far=6.0, img_wh=(w, h),
+            batch_size=batch_size, donate=False, mesh=mesh, sharded_views=True,
+        )
+        state = jax.device_put(
+            create_train_state(params, tx), replicated_sharding(mesh)
+        )
+        buf_sh = shard_multi_buffers(mesh, buffers)
+        state2, m = step(state, buf_sh, jax.random.PRNGKey(3))
+        assert np.isfinite(float(m["loss"]))
+        hlo = step.lower(state, buf_sh, jax.random.PRNGKey(3)).compile().as_text()
+        assert hlo.count("all-gather") == 0
+
+    # NOTE: the Trainer-level sharded-vs-replicated run lives in
+    # tests/test_e2e.py::TestMeshE2E::test_sharded_buffers_track_replicated
+    # (subprocess-isolated: long mesh fits can trip the XLA CPU rendezvous
+    # 40 s termination timeout under pytest load on this 2-vCPU host).
