@@ -116,6 +116,7 @@ class Trainer:
                 ae_kwargs = dict(mlp_kwargs)
                 ae_kwargs.pop("netdepth", None)
                 ae_kwargs["sigma_activation"] = cfg.ae_sigma_activation
+                ae_kwargs["embed_deg"] = cfg.ae_embed_deg
                 self.model = AutoEncoderArticulatedNeRF(**ae_kwargs)
                 self.code_library = None
             self.dataset = ds_cls(
@@ -414,9 +415,10 @@ class Trainer:
         )
         deg = pred_state.reshape(()) if (is_test or "deg" not in img) else jnp.asarray(img["deg"])
         latents = dict(latents)
-        latents["articulation_deg"] = self.model.apply(
-            params, deg, method=self.model.deg_code
-        )
+        if self.model.embed_deg:
+            latents["articulation_deg"] = self.model.apply(
+                params, deg, method=self.model.deg_code
+            )
         latents = {k: jnp.atleast_2d(v) for k, v in latents.items()}
         return params, latents
 

@@ -131,6 +131,12 @@ class Config:
     # conditions batch_size/V ray slices per view — the encoder-throughput
     # lever; see train/step_ae.py views_per_step)
     ae_views_per_step: int = 1
+    # AE articulation conditioning: True (reference default, embed_deg
+    # model_ae_art.py:224,239-240) looks up an embedding of the rounded
+    # joint angle in degrees; False feeds the encoder's raw articulation
+    # code to the deformation MLP instead (the reference's embed_deg=False
+    # branch). RESULTS.md has the measured sweep.
+    ae_embed_deg: bool = True
 
     # articulated/AE field compute schedule: contract latent kernel columns
     # once per view instead of materializing rays x samples x C latent

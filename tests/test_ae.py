@@ -110,6 +110,34 @@ class TestAutoEncoderSystem:
         c90 = model.apply(params, jnp.asarray(np.deg2rad(90.0)), method=model.deg_code)
         np.testing.assert_allclose(np.asarray(hi), np.asarray(c90), atol=1e-6)
 
+    def test_embed_deg_false_uses_raw_articulation_code(self):
+        """The reference's embed_deg=False branch (model_ae_art.py:224): the
+        encoder's raw articulation code conditions the deformation MLP — no
+        deg-embedding table exists, and changing ``deg`` does not change the
+        render (only the state loss sees it)."""
+        model = AutoEncoderArticulatedNeRF(
+            num_coarse_samples=4, num_fine_samples=4, embed_deg=False
+        )
+        batch = self._batch()
+        params = model.init(
+            jax.random.PRNGKey(0), batch, batch["src_imgs"][None], batch["deg"],
+            False, True, 2.0, 6.0,
+        )
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        assert not any("deg_embedding" in str(p) for p, _ in flat)
+        out40 = model.apply(
+            params, batch, batch["src_imgs"][None], jnp.asarray(np.deg2rad(40.0)),
+            False, True, 2.0, 6.0,
+        )
+        out80 = model.apply(
+            params, batch, batch["src_imgs"][None], jnp.asarray(np.deg2rad(80.0)),
+            False, True, 2.0, 6.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out40[0][1][0]), np.asarray(out80[0][1][0]), atol=1e-6
+        )
+        assert np.all(np.isfinite(np.asarray(out40[0][1][0])))
+
     def test_train_step_runs(self, model_and_params):
         from aonerf.train import create_train_state, make_adam
         from aonerf.train.step_ae import make_ae_train_step

@@ -1,0 +1,121 @@
+"""Instance-scaling study: articulated generalization past 2 instances.
+
+Round-3 found (RESULTS.md) that at n=2 instances the auto-ENCODER's
+image-conditioned latents beat the auto-DECODER's interpolated codes on
+held-out articulations (29.5 vs 28.3 dB). This tool measures whether that
+holds as the instance count grows (the reference surfaces N_max_objs,
+models/code_library.py:22-34, but never reports multi-instance numbers), and
+sweeps the AE's articulation conditioning (deg-embedding, the reference's
+embed_deg default, vs the encoder's raw articulation code;
+model_ae_art.py:224,239-240).
+
+One run per invocation (so a driver can budget each):
+
+  python tools/instance_scaling_study.py --mode autodecoder --n 4 \
+      --data-root /tmp/scale --out /tmp/scale/results.jsonl
+
+Generates (once, cached by path) a synthetic SAPIEN-layout dataset with a
+first-class held-out-articulation val split, trains the mode at its
+measured-best TPU preset scaled to a fixed ray budget, and appends one JSON
+line: held-out val PSNR (10 deterministic views), object PSNR, steps,
+wall-clock.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/aonerf_jax_cache")
+
+N_DEGREES = tuple(range(0, 91, 10))
+VAL_DEGREES = tuple(range(5, 86, 10))
+
+
+def ensure_dataset(data_root: str, n: int, img_wh, n_images: int, seed: int) -> str:
+    from aonerf.data.synthetic import generate_multi_scene
+
+    root = os.path.join(data_root, f"multi_n{n}_v{n_images}")
+    if not os.path.isdir(root):
+        generate_multi_scene(
+            root, img_wh=tuple(img_wh), n_instances=n, degrees=N_DEGREES,
+            n_images=n_images, seed=seed, val_degrees=VAL_DEGREES,
+            n_val_images=4,
+        )
+    return root
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["autodecoder", "ae", "ae_raw"], required=True,
+                   help="ae_raw = AE with ae_embed_deg=False (raw encoder "
+                        "articulation code conditions the deformation)")
+    p.add_argument("--n", type=int, required=True, help="instance count")
+    p.add_argument("--data-root", type=str, default="/tmp/aonerf_scale")
+    p.add_argument("--out", type=str, default=None,
+                   help="JSONL results file (default {data-root}/results.jsonl)")
+    p.add_argument("--img-wh", type=int, nargs=2, default=(320, 240))
+    p.add_argument("--n-images", type=int, default=12)
+    p.add_argument("--budget-rays", type=float, default=None,
+                   help="total training rays (default: the round-3 per-mode "
+                        "budget: 12.3M autodecoder / 6.55M ae)")
+    p.add_argument("--val-views", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    from aonerf.train.loop import Trainer
+    from aonerf.utils.config import Config
+
+    root = ensure_dataset(args.data_root, args.n, args.img_wh, args.n_images, args.seed)
+    out_path = args.out or os.path.join(args.data_root, "results.jsonl")
+
+    if args.mode == "autodecoder":
+        budget = args.budget_rays or 12.3e6
+        cfg = Config(
+            exp_type="vanilla_autodecoder", dataset_name="sapien_multi",
+            root_dir=root, output_path=os.path.join(args.data_root, "runs"),
+            exp_name=f"{args.mode}_n{args.n}", img_wh=tuple(args.img_wh),
+            batch_size=176, inner_steps=233, compute_dtype="bf16",
+            grad_clip=1.0, n_max_objs=max(4, args.n), run_max_steps=90909,
+            chunk=256, val_every_steps=10**9, ckpt_every_steps=10**9,
+        )
+    else:
+        budget = args.budget_rays or 6.55e6
+        cfg = Config(
+            exp_type="vanilla_ae_art", dataset_name="sapien_multi",
+            root_dir=root, output_path=os.path.join(args.data_root, "runs"),
+            exp_name=f"{args.mode}_n{args.n}", img_wh=tuple(args.img_wh),
+            batch_size=160, ae_views_per_step=1, inner_steps=256,
+            compute_dtype="bf16", grad_clip=1.0, lr_init=2.5e-4,
+            run_max_steps=100_000, chunk=256,
+            ae_embed_deg=args.mode != "ae_raw",
+            val_every_steps=10**9, ckpt_every_steps=10**9,
+        )
+    steps = int(budget / cfg.batch_size)
+
+    t0 = time.time()
+    tr = Trainer(cfg)
+    try:
+        assert tr.val_dataset.uses_val_split, "dataset must ship a val split"
+        tr.fit(max_steps=steps)
+        val = tr.validate(n_images=args.val_views)
+    finally:
+        tr.close()
+    rec = {
+        "mode": args.mode,
+        "n_instances": args.n,
+        "steps": steps,
+        "rays": steps * cfg.batch_size,
+        "val_psnr": round(val["psnr"], 3),
+        "val_psnr_obj": round(val.get("psnr_obj", float("nan")), 3),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    with open(out_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
