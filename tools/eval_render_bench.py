@@ -53,6 +53,7 @@ def main() -> None:
     w, h = args.img_wh
     n = w * h
     rays = _rays(n)
+    init_rays = {k: v[:8] for k, v in rays.items()}  # tiny init trace
     print(f"device={jax.devices()[0]} image={w}x{h} ({n} rays) mode={args.mode}")
 
     for dtype in args.dtypes:
@@ -61,7 +62,7 @@ def main() -> None:
             from aonerf.models import NeRF
 
             model = NeRF(compute_dtype=cd)
-            params = model.init(jax.random.PRNGKey(0), rays, False, True, 2.0, 6.0)
+            params = model.init(jax.random.PRNGKey(0), init_rays, False, True, 2.0, 6.0)
             latents = None
         else:
             from aonerf.models import ArticulatedNeRF
@@ -74,7 +75,7 @@ def main() -> None:
                 "articulation": jnp.asarray(rng.standard_normal((1, 32)), jnp.float32),
             }
             params = model.init(
-                jax.random.PRNGKey(0), rays, False, True, 2.0, 6.0, latents
+                jax.random.PRNGKey(0), init_rays, False, True, 2.0, 6.0, latents
             )
         for chunk in args.chunks:
             r = make_image_renderer(

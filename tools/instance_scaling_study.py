@@ -62,6 +62,10 @@ def main() -> None:
                    help="total training rays (default: the round-3 per-mode "
                         "budget: 12.3M autodecoder / 6.55M ae)")
     p.add_argument("--val-views", type=int, default=10)
+    p.add_argument("--validate-only", action="store_true",
+                   help="skip training; restore the run's latest checkpoint "
+                        "and re-score held-out val with --val-views views "
+                        "(cheap noise reduction for the final table)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -99,7 +103,14 @@ def main() -> None:
     tr = Trainer(cfg)
     try:
         assert tr.val_dataset.uses_val_split, "dataset must ship a val split"
-        tr.fit(max_steps=steps)
+        if args.validate_only:
+            import jax
+
+            assert int(jax.device_get(tr.state.step)) >= steps, (
+                "no trained checkpoint found for this run"
+            )
+        else:
+            tr.fit(max_steps=steps)
         val = tr.validate(n_images=args.val_views)
     finally:
         tr.close()
@@ -108,6 +119,7 @@ def main() -> None:
         "n_instances": args.n,
         "steps": steps,
         "rays": steps * cfg.batch_size,
+        "val_views": args.val_views,
         "val_psnr": round(val["psnr"], 3),
         "val_psnr_obj": round(val.get("psnr_obj", float("nan")), 3),
         "wall_s": round(time.time() - t0, 1),
