@@ -203,6 +203,7 @@ class Trainer:
                 mesh=self._ddp_mesh(),
                 views_per_step=cfg.ae_views_per_step,
                 sharded_views=self._sharded_scene_buffers(),
+                encode_reuse=cfg.ae_encode_reuse,
             )
         else:
             lib_params = self.code_library.init(key, jnp.asarray(0), jnp.asarray(0))
@@ -332,6 +333,22 @@ class Trainer:
 
             prefetcher = Prefetcher(lambda: self.dataset.sample_train(self.rng))
 
+        # Multi-device CPU meshes (the virtual-device test/sim configuration)
+        # must not run with a deep async dispatch queue: XLA CPU's in-process
+        # collectives share one thread pool across devices, and with many
+        # executions in flight the device threads end up blocked in
+        # DIFFERENT executions' rendezvous — a deterministic deadlock that
+        # aborts the process after the 40 s rendezvous timeout
+        # (rendezvous.cc:127; reproduced: 60 queued vanilla steps on a
+        # 4-device 2-vCPU mesh deadlock at the same op, 60 synced steps run
+        # fine). Syncing each dispatch costs nothing on CPU; TPU keeps the
+        # full async pipeline (its runtime handles deep queues).
+        throttle = (
+            self.mesh is not None
+            and len(self.mesh.devices.flat) > 1
+            and jax.devices()[0].platform == "cpu"
+        )
+
         last = {}
         step = start
         while step < total:
@@ -340,6 +357,8 @@ class Trainer:
             else:  # AE: host-sampled batch (needs the normalized src image)
                 batch = self._device_batch(prefetcher.get())
                 self.state, metrics = self.step_fn(self.state, batch, self.base_key)
+            if throttle:
+                jax.block_until_ready(metrics["loss"])
             prev, step = step, step + stride
 
             # cadences fire when the fused stride crosses their boundary

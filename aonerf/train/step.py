@@ -276,6 +276,64 @@ def sample_multi_batch(
     return batch
 
 
+def sample_view(
+    buffers: Dict[str, jnp.ndarray], key: jax.Array
+) -> Dict[str, jnp.ndarray]:
+    """Draw one random (instance, articulation, view) and gather that view's
+    whole image data (no pixel selection yet). Mirrors sample_multi_batch's
+    view-draw semantics; pair with sample_view_pixels to split the per-view
+    work (e.g. one ResNet encode) from the per-step pixel rays (the
+    encode-reuse AE step, train/step_ae.py)."""
+    n_i, n_d, n_v = buffers["rgb"].shape[:3]
+    k_i, k_d, k_v = jax.random.split(key, 3)
+    ii = jax.random.randint(k_i, (), 0, n_i)
+    di = jax.random.randint(k_d, (), 0, n_d)
+    vi = jax.random.randint(k_v, (), 0, n_v)
+    return {
+        "c2w": buffers["c2w"][ii, di, vi],  # (3, 4)
+        "rgb": buffers["rgb"][ii, di, vi],  # (hw, 3) uint8
+        "mask": buffers["mask"][ii, di, vi],  # (hw,)
+        "deg": buffers["deg"][di],
+        "instance_id": ii,
+        "articulation_id": di,
+    }
+
+
+def view_src_image(view: Dict[str, jnp.ndarray], src_hw: Tuple[int, int]) -> jnp.ndarray:
+    """(3, h, w) [-1, 1] source image of a sampled view (the reference's
+    img_transform, sapien_multi.py:144) — same normalization as
+    sample_multi_batch's src_imgs."""
+    h, w = src_hw
+    src = view["rgb"].astype(jnp.float32) / 255.0 * 2.0 - 1.0
+    return src.reshape(h, w, 3).transpose(2, 0, 1)
+
+
+def sample_view_pixels(
+    view: Dict[str, jnp.ndarray],
+    directions: jnp.ndarray,
+    key: jax.Array,
+    batch_size: int,
+) -> Dict[str, jnp.ndarray]:
+    """``batch_size`` random pixel rays from a view drawn by sample_view —
+    identical ray/target math to sample_multi_batch."""
+    hw = view["rgb"].shape[0]
+    pix = jax.random.randint(key, (batch_size,), 0, hw)
+    c2w = view["c2w"]
+    dirs = directions[pix]
+    world_d = dirs @ c2w[:, :3].T
+    viewdirs = world_d / jnp.linalg.norm(world_d, axis=-1, keepdims=True)
+    return {
+        "rays_o": jnp.broadcast_to(c2w[:, 3], viewdirs.shape),
+        "rays_d": viewdirs,
+        "viewdirs": viewdirs,
+        "target": view["rgb"][pix].astype(jnp.float32) / 255.0,
+        "instance_mask": view["mask"][pix],
+        "deg": view["deg"],
+        "instance_id": view["instance_id"],
+        "articulation_id": view["articulation_id"],
+    }
+
+
 def sample_multi_batch_multiview(
     buffers: Dict[str, jnp.ndarray],
     key: jax.Array,

@@ -61,6 +61,7 @@ _OPACITY_LOSSES = {
 def _ae_loss_fn(
     model, white_bkgd, near, far, randomized, opacity_lambda,
     opacity_loss: str = "bce_prob", photometric: str = "masked",
+    return_latents: bool = False,
 ) -> Callable:
     opacity_fn = _OPACITY_LOSSES[opacity_loss]
 
@@ -93,7 +94,41 @@ def _ae_loss_fn(
             [levels[0][1], levels[1][1]], mask, opacity_lambda=opacity_lambda
         )
         loss = loss0 + loss1 + loss_state + loss_op
+        if return_latents:  # detached cache for encode-reuse field steps
+            cached = jax.tree_util.tree_map(jax.lax.stop_gradient, latents)
+            return loss, (loss0, loss1, loss_state, loss_op, cached)
         return loss, (loss0, loss1, loss_state, loss_op)
+
+    return loss_fn
+
+
+def _ae_field_loss_fn(
+    model, white_bkgd, near, far, randomized, opacity_lambda,
+    opacity_loss: str = "bce_prob", photometric: str = "masked",
+) -> Callable:
+    """Field-only AE loss on CACHED (detached) latents: photometric + opacity
+    over the rendering field, no encoder forward/backward and no state loss
+    (pred_state is a constant of the cached latents). The cheap body of the
+    encode-reuse step."""
+    opacity_fn = _OPACITY_LOSSES[opacity_loss]
+
+    def loss_fn(params, batch, latents, render_key):
+        levels = model.apply(
+            params, batch, randomized, white_bkgd, near, far, latents,
+            key=render_key, method=model.render,
+        )
+        mask = batch["instance_mask"].astype(jnp.float32)
+        if photometric == "masked":
+            loss0 = masked_mse(levels[0][0], batch["target"], mask)
+            loss1 = masked_mse(levels[1][0], batch["target"], mask)
+        else:
+            loss0 = jnp.mean((levels[0][0] - batch["target"]) ** 2)
+            loss1 = jnp.mean((levels[1][0] - batch["target"]) ** 2)
+        loss_op = opacity_fn(
+            [levels[0][1], levels[1][1]], mask, opacity_lambda=opacity_lambda
+        )
+        loss = loss0 + loss1 + loss_op
+        return loss, (loss0, loss1, loss_op)
 
     return loss_fn
 
@@ -153,6 +188,7 @@ def make_ae_device_train_step(
     mesh: Optional[Mesh] = None,
     views_per_step: int = 1,
     sharded_views: bool = False,
+    encode_reuse: int = 1,
 ) -> Callable:
     """Fully on-device auto-encoder step: (instance, articulation, view,
     pixel) sampling AND the source-image gather + [-1,1] normalization happen
@@ -183,12 +219,29 @@ def make_ae_device_train_step(
     over 'data' (parallel.shard_multi_buffers); each chip samples — and
     encodes — only views from its local slice, cutting per-chip HBM by the
     mesh size. See make_autodecoder_device_train_step.
+
+    ``encode_reuse`` R > 1: each group of R optimizer steps trains on ONE
+    sampled view — step 1 is a full step (encode fwd+bwd + field), steps
+    2..R are FIELD-ONLY steps on the step-1 latents (detached): fresh random
+    pixels each step, photometric + opacity losses, no encoder compute at
+    all. At the quality preset (batch 160) the ResNet encode is ~60% of the
+    step, so this is the temporal analogue of views_per_step's spatial
+    batching — it amortizes the encoder without leaving the small-batch
+    VMEM sweet spot the round-3 matrix showed is where quality comes from.
+    The encoder/state-decoder/deg-embedding update every R-th step; the
+    field updates every step. Measured throughput + equal-ray quality:
+    RESULTS.md (round 4).
     """
     if views_per_step > 1 and batch_size % views_per_step != 0:
         raise ValueError(
             f"batch_size ({batch_size}) must be divisible by views_per_step "
             f"({views_per_step}); otherwise {batch_size % views_per_step} "
             "rays/step would silently be dropped"
+        )
+    if encode_reuse > 1 and views_per_step > 1:
+        raise ValueError(
+            "encode_reuse and views_per_step are alternative encoder-"
+            "amortization levers; combine is not supported"
         )
     loss_fn = _ae_loss_fn(
         model, white_bkgd, near, far, randomized, opacity_lambda,
@@ -228,7 +281,92 @@ def make_ae_device_train_step(
         }
         return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
 
-    if inner_steps <= 1:
+    if encode_reuse > 1:
+        if inner_steps % encode_reuse != 0:
+            raise ValueError(
+                f"inner_steps ({inner_steps}) must be a multiple of "
+                f"encode_reuse ({encode_reuse}) so a dispatch holds whole "
+                "groups"
+            )
+        from aonerf.train.step import sample_view, sample_view_pixels, view_src_image
+
+        full_loss = _ae_loss_fn(
+            model, white_bkgd, near, far, randomized, opacity_lambda,
+            opacity_loss=opacity_loss, photometric=photometric,
+            return_latents=True,
+        )
+        field_loss = _ae_field_loss_fn(
+            model, white_bkgd, near, far, randomized, opacity_lambda,
+            opacity_loss=opacity_loss, photometric=photometric,
+        )
+
+        def _step_key(state, base_key):
+            key = jax.random.fold_in(base_key, state.step)
+            if axis is not None:
+                key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            return jax.random.split(key)
+
+        def group_step(state: TrainState, buffers, base_key):
+            # step 1 of the group: sample a view, full encode+field step
+            sample_key, render_key = _step_key(state, base_key)
+            k_view, k_pix = jax.random.split(sample_key)
+            view = sample_view(buffers, k_view)
+            batch = sample_view_pixels(view, buffers["directions"], k_pix, batch_size)
+            batch["src_imgs"] = view_src_image(view, (h, w))
+            diff_params = state.params if axis is None else _pvary(state.params, axis)
+            (loss, (l0, l1, ls, lo, latents)), grads = jax.value_and_grad(
+                full_loss, has_aux=True
+            )(diff_params, batch, render_key)
+            if axis is not None:
+                grads = jax.lax.pmean(grads, axis)
+                loss, l0, l1, ls, lo = jax.lax.pmean((loss, l0, l1, ls, lo), axis)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+
+            # steps 2..R: field-only on the cached (detached) latents
+            def field_body(carry, _):
+                st = carry
+                s_key, r_key = _step_key(st, base_key)
+                b = sample_view_pixels(view, buffers["directions"], s_key, batch_size)
+                dp = st.params if axis is None else _pvary(st.params, axis)
+                (fl, (f0, f1, fo)), g = jax.value_and_grad(
+                    field_loss, has_aux=True
+                )(dp, b, latents, r_key)
+                if axis is not None:
+                    g = jax.lax.pmean(g, axis)
+                    fl, f0, f1, fo = jax.lax.pmean((fl, f0, f1, fo), axis)
+                up, os_ = tx.update(g, st.opt_state, st.params)
+                p = optax.apply_updates(st.params, up)
+                return (
+                    TrainState(step=st.step + 1, params=p, opt_state=os_),
+                    (fl, f0, f1, fo),
+                )
+
+            state, (fl, f0, f1, fo) = jax.lax.scan(
+                field_body, state, None, length=encode_reuse - 1
+            )
+            metrics = {
+                "loss": fl[-1] + ls,  # comparable total (state loss is the
+                # group's full-step value; field steps don't recompute it)
+                "loss_state": ls,
+                "opacity_loss": fo[-1],
+                "psnr0": mse2psnr(f0[-1]),
+                "psnr1": mse2psnr(f1[-1]),
+                "lr": lr_fn(state.step),
+            }
+            return state, metrics
+
+        def fn(state, buffers, base_key):
+            def body(carry, _):
+                return group_step(carry, buffers, base_key)
+
+            state, metrics = jax.lax.scan(
+                body, state, None, length=inner_steps // encode_reuse
+            )
+            return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    elif inner_steps <= 1:
         fn = one_step
     else:
 

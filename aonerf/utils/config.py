@@ -131,6 +131,12 @@ class Config:
     # conditions batch_size/V ray slices per view — the encoder-throughput
     # lever; see train/step_ae.py views_per_step)
     ae_views_per_step: int = 1
+    # Temporal encoder amortization: groups of R optimizer steps share ONE
+    # sampled view — step 1 runs the full encode+field step, steps 2..R are
+    # field-only on the detached step-1 latents (fresh random pixels each).
+    # The encoder/state losses update every R-th step; the field every step.
+    # Alternative to ae_views_per_step (cannot combine). Measured: RESULTS.md.
+    ae_encode_reuse: int = 1
     # AE articulation conditioning: True (reference default, embed_deg
     # model_ae_art.py:224,239-240) looks up an embedding of the rounded
     # joint angle in degrees; False feeds the encoder's raw articulation

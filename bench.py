@@ -175,6 +175,7 @@ def _build_ae(args, compute_dtype):
         model, tx, True, 2.0, 6.0, img_wh=img_wh, batch_size=args.batch_size,
         inner_steps=args.inner_steps, donate=False,
         views_per_step=args.views_per_step,
+        encode_reuse=getattr(args, "encode_reuse", 1),
     )
     return step, create_train_state(params, tx), buffers
 
@@ -198,6 +199,10 @@ def main() -> None:
                         "(default: per-mode best)")
     p.add_argument("--views-per-step", type=int, default=None,
                    help="(ae) source views encoded per step")
+    p.add_argument("--encode-reuse", type=int, default=1,
+                   help="(ae) R optimizer steps per sampled view: 1 full "
+                        "encode+field step then R-1 field-only steps on the "
+                        "cached latents (train/step_ae.py encode_reuse)")
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--grad-clip", type=float, default=1.0,

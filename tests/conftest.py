@@ -15,7 +15,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compilation cache: the test matrix re-compiles many small
 # programs; caching across runs keeps the suite fast on small hosts.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/aonerf_jax_cache")
+# NOTE: a cache dir SEPARATE from the TPU one (/tmp/aonerf_jax_cache).
+# Sharing it poisoned the CPU tests once: a CPU AOT entry compiled with
+# machine features this host lacks (+prefer-no-scatter/gather) loads with a
+# "could lead to SIGILL" warning, one device thread wedges mid-program, and
+# every cross-device all-reduce then dies in the 40 s rendezvous timeout
+# (rendezvous.cc:127) — which looks exactly like host starvation but
+# reproduces on an idle machine. Keep CPU-compiled artifacts isolated.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = os.environ.get(
+    "AONERF_TEST_CACHE_DIR", "/tmp/aonerf_jax_cache_cpu"
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 

@@ -416,7 +416,11 @@ class TestTrainerMeshE2E:
     rendezvous with a hard 40 s termination timeout, and on this 2-vCPU host
     a device thread can be starved past it under pytest load — the abort
     (rendezvous.cc:127) kills the whole process, so it must not share the
-    suite's. One retry is allowed for exactly that abort signature; real
+    suite's. These long-fit tests also use a 4-device mesh (not the suite's
+    8): 8 device threads on 2 vCPUs sit right at the starvation edge —
+    measured, the 8-way variant aborts even on an idle host some sessions —
+    while 4 is reliably schedulable and exercises the same multi-chip
+    semantics. Retries are allowed for exactly that abort signature; real
     failures propagate."""
 
     _PROLOGUE = (
@@ -436,10 +440,12 @@ class TestTrainerMeshE2E:
         script = tmp_path / "mesh_worker.py"
         script.write_text(self._PROLOGUE + body)
         env = dict(os.environ)
-        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        import time
+
         r = None
-        for attempt in range(2):
+        for attempt in range(3):
             r = subprocess.run(
                 [sys.executable, str(script), repo], env=env,
                 capture_output=True, text=True, timeout=900,
@@ -449,6 +455,7 @@ class TestTrainerMeshE2E:
                 return
             if "rendezvous" not in (r.stderr + r.stdout):
                 break  # a real failure, not the host-starvation abort
+            time.sleep(15)  # let whatever starved the device threads drain
         raise AssertionError(r.stdout[-2000:] + r.stderr[-2000:])
 
     def test_vanilla_fit_validate_on_mesh(self, single_root, tmp_path):
@@ -460,7 +467,7 @@ cfg = Config(root_dir={single_root!r}, output_path={str(tmp_path)!r},
              val_every_steps=100000, ckpt_every_steps=100000,
              exp_name='mesh_e2e')
 tr = Trainer(cfg, use_mesh=True)
-assert tr.mesh is not None and tr.mesh.shape['data'] >= 8
+assert tr.mesh is not None and tr.mesh.shape['data'] >= 4
 v0 = tr.validate(n_images=1)['psnr']
 tr.fit(max_steps=60)
 v1 = tr.validate(n_images=1)['psnr']
@@ -471,8 +478,8 @@ print('MESH_E2E_OK')
         self._run(tmp_path, body)
 
     def test_sharded_buffers_track_replicated(self, tmp_path):
-        """End-to-end over the Trainer on the 8-device CPU mesh, on a dataset
-        with MORE views than one chip's slice (16 views -> 2/chip): training
+        """End-to-end over the Trainer on the subprocess CPU mesh, on a dataset
+        with MORE views than one chip's slice (16 views -> 4/chip): training
         with view-SHARDED scene buffers (shard_scene_buffers, VERDICT r3 #1)
         must learn like the replicated run (same steps, same per-chip batch;
         different but equidistributed view-sampling streams), and the

@@ -62,6 +62,12 @@ def main() -> None:
                    help="total training rays (default: the round-3 per-mode "
                         "budget: 12.3M autodecoder / 6.55M ae)")
     p.add_argument("--val-views", type=int, default=10)
+    p.add_argument("--ae-encode-reuse", type=int, default=1,
+                   help="(ae modes) encode-reuse R for the quality A/B")
+    p.add_argument("--ae-batch", type=int, default=None,
+                   help="(ae modes) override the preset batch size")
+    p.add_argument("--tag", type=str, default="",
+                   help="suffix for exp_name/results so A/B runs don't clobber")
     p.add_argument("--validate-only", action="store_true",
                    help="skip training; restore the run's latest checkpoint "
                         "and re-score held-out val with --val-views views "
@@ -87,13 +93,16 @@ def main() -> None:
         )
     else:
         budget = args.budget_rays or 6.55e6
+        batch = args.ae_batch or 160
         cfg = Config(
             exp_type="vanilla_ae_art", dataset_name="sapien_multi",
             root_dir=root, output_path=os.path.join(args.data_root, "runs"),
-            exp_name=f"{args.mode}_n{args.n}", img_wh=tuple(args.img_wh),
-            batch_size=160, ae_views_per_step=1, inner_steps=256,
+            exp_name=f"{args.mode}_n{args.n}{args.tag}", img_wh=tuple(args.img_wh),
+            batch_size=batch, ae_views_per_step=1, inner_steps=256,
             compute_dtype="bf16", grad_clip=1.0, lr_init=2.5e-4,
-            run_max_steps=100_000, chunk=256,
+            ae_encode_reuse=args.ae_encode_reuse,
+            # keep the per-ray LR decay rate of the 100k@160 schedule
+            run_max_steps=int(100_000 * 160 / batch), chunk=256,
             ae_embed_deg=args.mode != "ae_raw",
             val_every_steps=10**9, ckpt_every_steps=10**9,
         )
@@ -115,7 +124,7 @@ def main() -> None:
     finally:
         tr.close()
     rec = {
-        "mode": args.mode,
+        "mode": args.mode + args.tag,
         "n_instances": args.n,
         "steps": steps,
         "rays": steps * cfg.batch_size,
