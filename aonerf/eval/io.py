@@ -43,11 +43,14 @@ def store_depth_img(dirpath: str, depths: Sequence[np.ndarray], name: str = "dep
 def store_depth_raw(
     dirpath: str, depths: Sequence[np.ndarray], name: str = "depth_raw"
 ) -> None:
-    """Raw depth as millimeter uint16 PNGs — the reference's store_depth_raw
-    (models/utils.py:41-53) in the same on-disk format the datagen writes
-    (data_utils.py:89-95; aonerf.data.synthetic.write_depth_png), so eval
-    depth round-trips through viz/pointcloud alongside the dataset's own
-    depth maps. Non-finite values (empty rays) store as 0."""
+    """Raw depth, twice: millimeter uint16 PNGs — the datagen's on-disk
+    format (data_utils.py:89-95; aonerf.data.synthetic.write_depth_png), so
+    eval depth round-trips through viz/pointcloud alongside the dataset's own
+    depth maps (non-finite values store as 0; quantized to 1 mm, clipped at
+    65.535 m) — plus a LOSSLESS float .npz ({name}.npz, one array per frame),
+    matching the reference store_depth_raw's savez_compressed record
+    (models/utils.py:41-53) so the raw artifact remains an exact record of
+    the rendered depth."""
     os.makedirs(dirpath, exist_ok=True)
     for i, depth in enumerate(depths):
         d = np.asarray(depth, dtype=np.float64)
@@ -56,6 +59,10 @@ def store_depth_raw(
         Image.fromarray(mm, mode="I;16").save(
             os.path.join(dirpath, f"{name}{i:03d}.png")
         )
+    np.savez_compressed(
+        os.path.join(dirpath, f"{name}.npz"),
+        **{f"{name}{i:03d}": np.asarray(d) for i, d in enumerate(depths)},
+    )
 
 
 def store_depth_color(

@@ -133,6 +133,40 @@ def _ae_field_loss_fn(
     return loss_fn
 
 
+def field_update_mask(params):
+    """Params-structured tree of STATIC bools: True for leaves under the
+    'field' submodule (updated every step of an encode-reuse group), False
+    for the encoder / joint-state decoder / deg-embedding partition (frozen
+    on field-only steps)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: any(getattr(k, "key", None) == "field" for k in path),
+        params,
+    )
+
+
+def masked_field_update(tx, grads, opt_state, params):
+    """``tx.update`` restricted to the field partition: non-field updates are
+    zeroed AND their optimizer-state slices (e.g. Adam moments) carried
+    through from ``opt_state`` unchanged, so frozen params neither move (a
+    stateful optimizer like Adam would otherwise keep updating them from the
+    decaying first moment even on zero gradients) nor accumulate stale
+    momentum during field-only steps. Non-param optimizer-state leaves (the
+    shared bias-correction/schedule counts) take the updated values."""
+    mask = field_update_mask(params)
+    updates, new_os = tx.update(grads, opt_state, params)
+    updates = jax.tree_util.tree_map(
+        lambda u, m: u if m else jnp.zeros_like(u), updates, mask
+    )
+    # opt-state-structured mask: param slots -> static bool; every other
+    # leaf (counts etc.) keeps new_os's array value -> "take new" below
+    mask_os = optax.tree_map_params(tx, lambda _, m: m, new_os, mask)
+    new_os = jax.tree_util.tree_map(
+        lambda new, old, m: new if not isinstance(m, bool) or m else old,
+        new_os, opt_state, mask_os,
+    )
+    return updates, new_os
+
+
 def make_ae_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -229,7 +263,15 @@ def make_ae_device_train_step(
     batching — it amortizes the encoder without leaving the small-batch
     VMEM sweet spot the round-3 matrix showed is where quality comes from.
     The encoder/state-decoder/deg-embedding update every R-th step; the
-    field updates every step. Measured throughput + equal-ray quality:
+    field updates every step. Field-only steps enforce this by MASKING the
+    optimizer: non-field updates are zeroed and the non-field slices of the
+    optimizer state are carried through unchanged, so a stateful optimizer
+    (Adam's decaying first moment would otherwise keep moving encoder params
+    on zero gradients) leaves the frozen partition bitwise untouched. Two
+    deliberate consequences: the Adam bias-correction counter is shared
+    (frozen moments resume with the global count), and grad clipping on a
+    field-only step sees the field-grad norm only — the natural norm for
+    the params that step updates. Measured throughput + equal-ray quality:
     RESULTS.md (round 4).
     """
     if views_per_step > 1 and batch_size % views_per_step != 0:
@@ -336,7 +378,7 @@ def make_ae_device_train_step(
                 if axis is not None:
                     g = jax.lax.pmean(g, axis)
                     fl, f0, f1, fo = jax.lax.pmean((fl, f0, f1, fo), axis)
-                up, os_ = tx.update(g, st.opt_state, st.params)
+                up, os_ = masked_field_update(tx, g, st.opt_state, st.params)
                 p = optax.apply_updates(st.params, up)
                 return (
                     TrainState(step=st.step + 1, params=p, opt_state=os_),

@@ -255,6 +255,11 @@ def main() -> None:
             sub = argparse.Namespace(**vars(args))
             sub.exp_type = mode
             sub.batch_size = sub.inner_steps = sub.views_per_step = None
+            # --all measures the per-mode DEFAULT presets: reset the
+            # encoder-amortization lever too, else a user-passed
+            # --encode-reuse collides with the restored ae default
+            # views_per_step=2 (ValueError) and kills the multi-mode run
+            sub.encode_reuse = 1
             remaining = args.budget_s - (time.perf_counter() - t_start)
             sub.budget_s = max(30.0, remaining / (len(modes) - i))
             results[mode] = _bench_mode(sub, time.perf_counter())

@@ -540,6 +540,132 @@ class TestEncodeReuse:
             for a, b in zip(enc0, enc1)
         )
 
+    def test_masked_field_update_freezes_non_field_under_adam(self):
+        """The production optimizer (clipped Adam) is STATEFUL: zero encoder
+        grads on field-only steps would still move encoder params through the
+        decaying first moment. masked_field_update must — for ARBITRARY
+        nonzero grads — return exactly-zero updates for the non-field
+        partition (encoder, joint-state decoder, deg-embedding) and carry its
+        optimizer-state slices (Adam moments) through bitwise unchanged,
+        while the field partition gets the ordinary Adam update. SGD cannot
+        detect this (linear in grads) — that is why this test exists
+        alongside the SGD replay."""
+        import optax
+
+        from aonerf.train import make_adam
+        from aonerf.train.step_ae import masked_field_update
+
+        model, buffers, params, (h, w) = self._setup()
+        tx = make_adam(lr_init=1e-3, lr_delay_steps=0, grad_clip=1.0)
+        opt0 = tx.init(params)
+        # warm the moments with one unmasked step so the frozen slices hold
+        # NONZERO state a decay would visibly change
+        g_rng = np.random.default_rng(7)
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(g_rng.standard_normal(p.shape), p.dtype), params
+        )
+        up, opt1 = tx.update(grads, opt0, params)
+        params1 = optax.apply_updates(params, up)
+
+        up2, opt2 = jax.jit(
+            lambda g, o, p: masked_field_update(tx, g, o, p)
+        )(grads, opt1, params1)
+
+        frozen = ("encoder", "joint_state_decoder", "deg_embedding")
+
+        def keys_of(path):
+            return [getattr(k, "key", getattr(k, "name", None)) for k in path]
+
+        # updates: exactly zero off-field, ordinary Adam on-field
+        n_frozen = n_field = 0
+        for path, leaf in jax.tree_util.tree_leaves_with_path(up2):
+            if any(k in frozen for k in keys_of(path)):
+                assert float(np.abs(np.asarray(leaf)).max()) == 0.0, path
+                n_frozen += 1
+            else:
+                assert float(np.abs(np.asarray(leaf)).max()) > 0.0, path
+                n_field += 1
+        assert n_frozen > 0 and n_field > 0
+        # opt state: frozen partition's moment slices bitwise == pre-update;
+        # field slices and the shared count advanced
+        old = dict(jax.tree_util.tree_leaves_with_path(opt1))
+        moved = 0
+        for path, leaf in jax.tree_util.tree_leaves_with_path(opt2):
+            keys = keys_of(path)
+            if any(k in frozen for k in keys):
+                np.testing.assert_array_equal(
+                    np.asarray(leaf), np.asarray(old[path]), err_msg=str(path)
+                )
+            elif "count" in keys:
+                assert int(leaf) == int(old[path]) + 1
+            elif float(np.abs(np.asarray(leaf) - np.asarray(old[path])).max()) > 0:
+                moved += 1
+        assert moved > 0  # field moments actually updated
+
+    def test_field_only_steps_freeze_encoder_under_adam(self):
+        """Integration wiring of masked_field_update: after an R-step
+        encode-reuse group under clipped Adam, the non-field partition equals
+        the result of the group's single FULL step alone (replayed with the
+        same PRNG stream), while the field kept training. Tolerances absorb
+        cross-compilation f32 noise (Adam's g/(|g|+eps) amplifies tiny grad
+        reassociation diffs); the exact-zero semantics are pinned by
+        test_masked_field_update_freezes_non_field_under_adam."""
+        import optax
+
+        from aonerf.train import create_train_state, make_adam
+        from aonerf.train.step_ae import make_ae_device_train_step
+
+        model, buffers, params, (h, w) = self._setup()
+        tx = make_adam(lr_init=1e-3, lr_delay_steps=0, grad_clip=1.0)
+        R = 4
+        step = make_ae_device_train_step(
+            model, tx, True, 2.0, 6.0, img_wh=(w, h), batch_size=8,
+            donate=False, inner_steps=R, encode_reuse=R,
+        )
+        state0 = create_train_state(params, tx)
+        state1, _ = step(state0, buffers, jax.random.PRNGKey(5))
+        assert int(state1.step) == R
+
+        # replay ONLY the group's full step (same PRNG stream as the group's
+        # step 0) — after it, the non-field partition must never move again
+        from aonerf.train.step import sample_view, sample_view_pixels, view_src_image
+        from aonerf.train.step_ae import _ae_loss_fn
+
+        full_loss = _ae_loss_fn(model, True, 2.0, 6.0, True, 0.5,
+                                return_latents=True)
+
+        def full_step_only(p, buffers, base_key):
+            opt = tx.init(p)
+            k = jax.random.fold_in(base_key, 0)
+            sample_key, render_key = jax.random.split(k)
+            k_view, k_pix = jax.random.split(sample_key)
+            view = sample_view(buffers, k_view)
+            batch = sample_view_pixels(view, buffers["directions"], k_pix, 8)
+            batch["src_imgs"] = view_src_image(view, (h, w))
+            _, grads = jax.value_and_grad(full_loss, has_aux=True)(
+                p, batch, render_key
+            )
+            up, opt = tx.update(grads, opt, p)
+            return optax.apply_updates(p, up), opt
+
+        want_params, _ = jax.jit(full_step_only)(
+            params, buffers, jax.random.PRNGKey(5)
+        )
+        for sub in ("encoder", "joint_state_decoder", "deg_embedding"):
+            got = jax.tree_util.tree_leaves(state1.params["params"][sub])
+            want = jax.tree_util.tree_leaves(want_params["params"][sub])
+            for a, b in zip(got, want):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
+                )
+        # ... while the field DID keep training after the full step
+        f_got = jax.tree_util.tree_leaves(state1.params["params"]["field"])
+        f_full = jax.tree_util.tree_leaves(want_params["params"]["field"])
+        assert any(
+            float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 1e-4
+            for a, b in zip(f_got, f_full)
+        )
+
     def test_reuse_with_views_per_step_rejected(self):
         import optax
 

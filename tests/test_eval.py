@@ -283,6 +283,10 @@ class TestIO:
         assert back[0, 0] == 0.0
         finite = np.isfinite(depth)
         np.testing.assert_allclose(back[finite], depth[finite], atol=5.5e-4)
+        # the lossless float record alongside (reference savez_compressed,
+        # models/utils.py:41-53): exact, including the inf empty ray
+        with np.load(tmp_path / "depth_raw.npz") as z:
+            np.testing.assert_array_equal(z["depth_raw000"], depth)
 
     def test_store_depth_color_npy_backprojects(self, tmp_path):
         """Colormapped depth ships with the raw .npy that
@@ -305,6 +309,39 @@ class TestIO:
 
 
 class TestVideoWriters:
+    def test_store_video_mp4_branch_frame_layout_and_fps(self, tmp_path, monkeypatch):
+        """The mp4 branch is unreachable in this image (no ffmpeg backend) —
+        pin its contract with a stub imageio module: frames arrive as uint8
+        (H, W, 3) in render order at the reference's 20 fps
+        (models/utils.py:55-59), written to {name}.mp4."""
+        import sys
+        import types
+
+        calls = {}
+
+        def mimwrite(path, frames, fps=None, quality=None):
+            calls["path"] = path
+            calls["frames"] = list(frames)
+            calls["fps"] = fps
+
+        stub = types.ModuleType("imageio")
+        stub.mimwrite = mimwrite
+        monkeypatch.setitem(sys.modules, "imageio", stub)
+
+        from aonerf.eval.io import store_video
+
+        rng = np.random.default_rng(1)
+        frames = [rng.uniform(size=(8, 12, 3)).astype(np.float32) for _ in range(3)]
+        path = store_video(str(tmp_path), frames, name="sweep")
+        assert path == str(tmp_path / "sweep.mp4") == calls["path"]
+        assert calls["fps"] == 20
+        assert len(calls["frames"]) == 3
+        for f32, u8 in zip(frames, calls["frames"]):
+            assert u8.dtype == np.uint8 and u8.shape == (8, 12, 3)
+            np.testing.assert_array_equal(
+                u8, (np.clip(f32.astype(np.float64), 0, 1) * 255).astype(np.uint8)
+            )
+
     def test_store_gif_writes_animated_gif(self, tmp_path):
         from aonerf.eval.io import store_gif
 

@@ -32,6 +32,40 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/aonerf_jax_cache")
 
 N_DEGREES = tuple(range(0, 91, 10))
 VAL_DEGREES = tuple(range(5, 86, 10))
+# round-3 per-mode total-ray budgets (RESULTS.md)
+DEFAULT_BUDGET = {"autodecoder": 12.3e6, "ae": 6.55e6}
+
+
+def build_cfg(args, root: str):
+    """Config for one study cell — shared with tools/diagnose_autodecoder.py
+    so diagnostics reconstruct exactly the trained run."""
+    from aonerf.utils.config import Config
+
+    seed_tag = f"_s{args.seed}" if args.seed else ""
+    if args.mode == "autodecoder":
+        return Config(
+            exp_type="vanilla_autodecoder", dataset_name="sapien_multi",
+            root_dir=root, output_path=os.path.join(args.data_root, "runs"),
+            exp_name=f"{args.mode}_n{args.n}{args.tag}{seed_tag}",
+            img_wh=tuple(args.img_wh), seed=args.seed,
+            batch_size=176, inner_steps=233, compute_dtype="bf16",
+            grad_clip=1.0, n_max_objs=max(4, args.n), run_max_steps=90909,
+            chunk=256, val_every_steps=10**9, ckpt_every_steps=10**9,
+        )
+    batch = args.ae_batch or 160
+    return Config(
+        exp_type="vanilla_ae_art", dataset_name="sapien_multi",
+        root_dir=root, output_path=os.path.join(args.data_root, "runs"),
+        exp_name=f"{args.mode}_n{args.n}{args.tag}{seed_tag}",
+        img_wh=tuple(args.img_wh), seed=args.seed,
+        batch_size=batch, ae_views_per_step=1, inner_steps=256,
+        compute_dtype="bf16", grad_clip=1.0, lr_init=2.5e-4,
+        ae_encode_reuse=args.ae_encode_reuse,
+        # keep the per-ray LR decay rate of the 100k@160 schedule
+        run_max_steps=int(100_000 * 160 / batch), chunk=256,
+        ae_embed_deg=args.mode != "ae_raw",
+        val_every_steps=10**9, ckpt_every_steps=10**9,
+    )
 
 
 def ensure_dataset(data_root: str, n: int, img_wh, n_images: int, seed: int) -> str:
@@ -72,41 +106,27 @@ def main() -> None:
                    help="skip training; restore the run's latest checkpoint "
                         "and re-score held-out val with --val-views views "
                         "(cheap noise reduction for the final table)")
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0,
+                   help="TRAINING seed (Config.seed: init + sampling PRNG); "
+                        "tagged into exp_name and the output record so "
+                        "multi-seed cells don't clobber each other")
+    p.add_argument("--data-seed", type=int, default=0,
+                   help="dataset-generation seed (held fixed across training "
+                        "seeds so every seed trains on the same scenes)")
     args = p.parse_args()
 
     from aonerf.train.loop import Trainer
     from aonerf.utils.config import Config
 
-    root = ensure_dataset(args.data_root, args.n, args.img_wh, args.n_images, args.seed)
+    root = ensure_dataset(
+        args.data_root, args.n, args.img_wh, args.n_images, args.data_seed
+    )
     out_path = args.out or os.path.join(args.data_root, "results.jsonl")
 
-    if args.mode == "autodecoder":
-        budget = args.budget_rays or 12.3e6
-        cfg = Config(
-            exp_type="vanilla_autodecoder", dataset_name="sapien_multi",
-            root_dir=root, output_path=os.path.join(args.data_root, "runs"),
-            exp_name=f"{args.mode}_n{args.n}", img_wh=tuple(args.img_wh),
-            batch_size=176, inner_steps=233, compute_dtype="bf16",
-            grad_clip=1.0, n_max_objs=max(4, args.n), run_max_steps=90909,
-            chunk=256, val_every_steps=10**9, ckpt_every_steps=10**9,
-        )
-    else:
-        budget = args.budget_rays or 6.55e6
-        batch = args.ae_batch or 160
-        cfg = Config(
-            exp_type="vanilla_ae_art", dataset_name="sapien_multi",
-            root_dir=root, output_path=os.path.join(args.data_root, "runs"),
-            exp_name=f"{args.mode}_n{args.n}{args.tag}", img_wh=tuple(args.img_wh),
-            batch_size=batch, ae_views_per_step=1, inner_steps=256,
-            compute_dtype="bf16", grad_clip=1.0, lr_init=2.5e-4,
-            ae_encode_reuse=args.ae_encode_reuse,
-            # keep the per-ray LR decay rate of the 100k@160 schedule
-            run_max_steps=int(100_000 * 160 / batch), chunk=256,
-            ae_embed_deg=args.mode != "ae_raw",
-            val_every_steps=10**9, ckpt_every_steps=10**9,
-        )
-    steps = int(budget / cfg.batch_size)
+    cfg = build_cfg(args, root)
+    steps = int((args.budget_rays or DEFAULT_BUDGET[
+        "autodecoder" if args.mode == "autodecoder" else "ae"
+    ]) / cfg.batch_size)
 
     t0 = time.time()
     tr = Trainer(cfg)
@@ -126,6 +146,7 @@ def main() -> None:
     rec = {
         "mode": args.mode + args.tag,
         "n_instances": args.n,
+        "seed": args.seed,
         "steps": steps,
         "rays": steps * cfg.batch_size,
         "val_views": args.val_views,
