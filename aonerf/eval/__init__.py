@@ -1,10 +1,16 @@
 """Evaluation: image metrics, tiled rendering, output writers."""
 
 from aonerf.eval.metrics import (  # noqa: F401
-    psnr_image,
-    ssim_image,
+    depth_mae_rmse,
     lpips_image,
     masked_psnr,
+    mse_legacy,
+    psnr_each,
+    psnr_image,
+    psnr_legacy,
+    ssim_each,
+    ssim_image,
+    ssim_legacy,
     summarize_metric,
 )
 from aonerf.eval.render import (  # noqa: F401

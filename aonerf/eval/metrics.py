@@ -95,6 +95,67 @@ def lpips_image(
     return float(lpips_from_npz(weights_path, pred, target))
 
 
+def mse_legacy(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    valid_mask: Optional[jnp.ndarray] = None,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """The reference's masked MSE helper (interface.py:64-70): squared error,
+    optionally restricted to ``valid_mask`` pixels, mean-reduced or raw."""
+    value = (pred - target) ** 2
+    if valid_mask is not None:
+        value = value[valid_mask]
+    if reduction == "mean":
+        return jnp.mean(value)
+    return value
+
+
+def psnr_legacy(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    valid_mask: Optional[jnp.ndarray] = None,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """The reference's per-ray 'legacy' PSNR (interface.py:72-74):
+    -10*log10(mse) WITHOUT the [0,1] clipping psnr_each applies, with the
+    optional valid-pixel mask. ``reduction='none'`` gives the elementwise
+    form the reference's signature exposes."""
+    return -10.0 * jnp.log10(mse_legacy(pred, target, valid_mask, reduction))
+
+
+def psnr_each(preds: Sequence[jnp.ndarray], gts: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Per-image PSNR over a render set with the reference's [0,1] clip of
+    BOTH prediction and target (interface.py:53-62); stacked like its
+    torch.stack output."""
+    return jnp.stack(
+        [
+            psnr_image(jnp.clip(p, 0.0, 1.0), jnp.clip(g, 0.0, 1.0))
+            for p, g in zip(preds, gts)
+        ]
+    )
+
+
+def ssim_legacy(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """The reference's single-pair 'legacy' SSIM (interface.py:86-92 /
+    142-155): clip both (H, W, C) images to [0,1], then the same windowed
+    SSIM as ssim_image."""
+    return ssim_image(jnp.clip(pred, 0.0, 1.0), jnp.clip(target, 0.0, 1.0))
+
+
+def ssim_each(preds: Sequence[jnp.ndarray], gts: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Per-image clipped SSIM over a render set (interface.py:102-111)."""
+    return jnp.stack([ssim_legacy(p, g) for p, g in zip(preds, gts)])
+
+
+def depth_mae_rmse(pred: jnp.ndarray, target: jnp.ndarray):
+    """(rmse, mae) of a depth render (interface.py:93-99)."""
+    abs_diff = jnp.abs(pred - target)
+    rmse = jnp.sqrt(jnp.mean(abs_diff**2))
+    mae = jnp.mean(abs_diff)
+    return rmse, mae
+
+
 def summarize_metric(
     values: Sequence[float],
     i_train: Optional[Sequence[int]] = None,

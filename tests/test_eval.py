@@ -36,6 +36,72 @@ class TestPSNR:
         np.testing.assert_allclose(float(masked_psnr(pred, target, mask)), 20.0, rtol=1e-4)
 
 
+class TestLegacyMetrics:
+    """The reference's per-ray 'legacy' metric variants (interface.py:
+    53-74, 86-99, 142-155) against fp64 NumPy oracles."""
+
+    def test_psnr_legacy_masked_and_unreduced(self):
+        from aonerf.eval import mse_legacy, psnr_legacy
+
+        rng = np.random.default_rng(0)
+        pred = rng.uniform(size=(6, 8, 3))
+        gt = rng.uniform(size=(6, 8, 3))
+        mask = rng.integers(0, 2, (6, 8, 3)).astype(bool)
+        # unmasked mean
+        want = -10.0 * np.log10(np.mean((pred - gt) ** 2))
+        np.testing.assert_allclose(
+            float(psnr_legacy(jnp.asarray(pred), jnp.asarray(gt))), want, rtol=1e-5
+        )
+        # masked: only valid pixels enter the mean (interface.py:64-70)
+        want_m = -10.0 * np.log10(np.mean(((pred - gt) ** 2)[mask]))
+        np.testing.assert_allclose(
+            float(psnr_legacy(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask))),
+            want_m, rtol=1e-5,
+        )
+        # reduction='none': elementwise squared error passthrough (f32
+        # oracle: tiny per-pixel differences cancel catastrophically vs f64)
+        raw = mse_legacy(jnp.asarray(pred), jnp.asarray(gt), reduction="none")
+        want_raw = (pred.astype(np.float32) - gt.astype(np.float32)) ** 2
+        np.testing.assert_allclose(np.asarray(raw), want_raw, rtol=1e-6)
+
+    def test_psnr_each_clips_unlike_legacy(self):
+        from aonerf.eval import psnr_each, psnr_legacy
+
+        gt = np.full((4, 4, 3), 1.0)
+        pred = np.full((4, 4, 3), 1.2)  # out-of-range render
+        each = np.asarray(psnr_each([jnp.asarray(pred)], [jnp.asarray(gt)]))
+        assert each.shape == (1,)
+        assert np.isinf(each[0])  # clipped -> identical -> inf dB
+        legacy = float(psnr_legacy(jnp.asarray(pred), jnp.asarray(gt)))
+        want = -10.0 * np.log10(0.2**2)
+        np.testing.assert_allclose(legacy, want, rtol=1e-4)  # unclipped
+
+    def test_ssim_legacy_and_each_clip(self):
+        from aonerf.eval import ssim_each, ssim_legacy, ssim_image
+
+        rng = np.random.default_rng(1)
+        pred = rng.uniform(-0.2, 1.2, size=(16, 16, 3))
+        gt = rng.uniform(size=(16, 16, 3))
+        want = float(ssim_image(jnp.clip(jnp.asarray(pred), 0, 1), jnp.asarray(gt)))
+        np.testing.assert_allclose(
+            float(ssim_legacy(jnp.asarray(pred), jnp.asarray(gt))), want, rtol=1e-6
+        )
+        both = np.asarray(ssim_each([jnp.asarray(pred)] * 2, [jnp.asarray(gt)] * 2))
+        np.testing.assert_allclose(both, [want, want], rtol=1e-6)
+
+    def test_depth_mae_rmse(self):
+        from aonerf.eval import depth_mae_rmse
+
+        rng = np.random.default_rng(2)
+        pred = rng.uniform(2.0, 6.0, size=(6, 8))
+        gt = rng.uniform(2.0, 6.0, size=(6, 8))
+        rmse, mae = depth_mae_rmse(jnp.asarray(pred), jnp.asarray(gt))
+        np.testing.assert_allclose(
+            float(rmse), np.sqrt(np.mean((pred - gt) ** 2)), rtol=1e-6
+        )
+        np.testing.assert_allclose(float(mae), np.mean(np.abs(pred - gt)), rtol=1e-6)
+
+
 class TestSSIM:
     def test_identical_images(self):
         rng = np.random.default_rng(0)

@@ -100,6 +100,12 @@ def main() -> None:
                    help="(ae modes) encode-reuse R for the quality A/B")
     p.add_argument("--ae-batch", type=int, default=None,
                    help="(ae modes) override the preset batch size")
+    p.add_argument("--lr-horizon-scale", type=float, default=1.0,
+                   help="multiply run_max_steps (the LR-decay horizon) — for "
+                        "equal-WALL-CLOCK A/Bs where a faster config trains "
+                        "more rays, the schedule must decay at the same "
+                        "per-ray rate (e.g. 1.49 for the encode-reuse R=2 "
+                        "throughput ratio)")
     p.add_argument("--tag", type=str, default="",
                    help="suffix for exp_name/results so A/B runs don't clobber")
     p.add_argument("--validate-only", action="store_true",
