@@ -219,6 +219,7 @@ class Trainer:
                 self.near, self.far, batch_size=cfg.batch_size,
                 randomized=cfg.randomized, lr_fn=self.lr_fn,
                 inner_steps=self._inner_steps,
+                reg_weight=cfg.code_reg_weight,
                 mesh=self._ddp_mesh(),
                 sharded_views=self._sharded_scene_buffers(),
             )

@@ -54,6 +54,13 @@ class Config:
     obj_code_dim: int = 128
     n_max_articulations: int = 10
     art_code_dim: int = 32
+    # L2 code-regularization weight of the autodecoder loss (the reference
+    # hardcodes 1e-4, model_autodecoder.py:428-466). Exposed because the
+    # round-5 instance-scaling study found rare seed-dependent per-instance
+    # code collapse (one instance's shape code drifts while the field drops
+    # it; studies/diag_n4_s0.json) that a stronger pull toward the origin
+    # mitigates — see RESULTS.md round 5.
+    code_reg_weight: float = 1e-4
 
     # optimization
     lr_init: float = 5.0e-4
@@ -134,8 +141,12 @@ class Config:
     # Temporal encoder amortization: groups of R optimizer steps share ONE
     # sampled view — step 1 runs the full encode+field step, steps 2..R are
     # field-only on the detached step-1 latents (fresh random pixels each).
-    # The encoder/state losses update every R-th step; the field every step.
-    # Alternative to ae_views_per_step (cannot combine). Measured: RESULTS.md.
+    # Field-only steps apply a MASKED optimizer update (step_ae.masked_
+    # field_update): the encoder/state-decoder/deg-embedding params and
+    # their optimizer moments are bitwise frozen (zero grads alone would
+    # not freeze them under Adam), so the non-field partition truly updates
+    # every R-th step while the field updates every step. Alternative to
+    # ae_views_per_step (cannot combine). Measured: RESULTS.md.
     ae_encode_reuse: int = 1
     # AE articulation conditioning: True (reference default, embed_deg
     # model_ae_art.py:224,239-240) looks up an embedding of the rounded

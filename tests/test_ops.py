@@ -91,6 +91,25 @@ class TestVolumetricRendering:
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), w, rtol=1e-4, atol=1e-5)
 
+    def test_nocs_compositing_branch(self):
+        """The optional NOCS branch (reference helper.py:186-193): passing a
+        per-sample nocs field returns (comp_rgb, acc, weights, comp_nocs)
+        with comp_nocs the weights-weighted sum of the nocs samples; the
+        rgb/acc/weights outputs are identical to the plain call."""
+        rgb, sigma, t, dirs = self._random_inputs(seed=4)
+        nocs = np.random.default_rng(5).uniform(size=rgb.shape).astype(np.float32)
+        plain = ops.volumetric_rendering(
+            jnp.asarray(rgb), jnp.asarray(sigma), jnp.asarray(t), jnp.asarray(dirs), False
+        )
+        comp, acc, w, comp_nocs = ops.volumetric_rendering(
+            jnp.asarray(rgb), jnp.asarray(sigma), jnp.asarray(t), jnp.asarray(dirs),
+            False, nocs=jnp.asarray(nocs),
+        )
+        for a, b in zip(plain[:3], (comp, acc, w)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        want = np.sum(np.asarray(plain[2])[..., None] * nocs, axis=-2)
+        np.testing.assert_allclose(np.asarray(comp_nocs), want, rtol=1e-5, atol=1e-6)
+
     def test_opaque_surface(self):
         # A single very dense sample -> pixel == its rgb, depth == its t.
         n = 4

@@ -50,6 +50,7 @@ def build_cfg(args, root: str):
             img_wh=tuple(args.img_wh), seed=args.seed,
             batch_size=176, inner_steps=233, compute_dtype="bf16",
             grad_clip=1.0, n_max_objs=max(4, args.n), run_max_steps=90909,
+            code_reg_weight=getattr(args, "code_reg", 1e-4),
             chunk=256, val_every_steps=10**9, ckpt_every_steps=10**9,
         )
     batch = args.ae_batch or 160
@@ -61,8 +62,13 @@ def build_cfg(args, root: str):
         batch_size=batch, ae_views_per_step=1, inner_steps=256,
         compute_dtype="bf16", grad_clip=1.0, lr_init=2.5e-4,
         ae_encode_reuse=args.ae_encode_reuse,
-        # keep the per-ray LR decay rate of the 100k@160 schedule
-        run_max_steps=int(100_000 * 160 / batch), chunk=256,
+        # keep the per-ray LR decay rate of the 100k@160 schedule;
+        # lr_horizon_scale stretches it for equal-wall-clock A/Bs that
+        # train proportionally more rays (default 1.0)
+        run_max_steps=int(
+            100_000 * 160 / batch * getattr(args, "lr_horizon_scale", 1.0)
+        ),
+        chunk=256,
         ae_embed_deg=args.mode != "ae_raw",
         val_every_steps=10**9, ckpt_every_steps=10**9,
     )
@@ -100,6 +106,10 @@ def main() -> None:
                    help="(ae modes) encode-reuse R for the quality A/B")
     p.add_argument("--ae-batch", type=int, default=None,
                    help="(ae modes) override the preset batch size")
+    p.add_argument("--code-reg", type=float, default=1e-4,
+                   help="(autodecoder) L2 code-regularization weight "
+                        "(Config.code_reg_weight; reference hardcodes 1e-4) "
+                        "— the seed-collapse mitigation A/B, RESULTS.md r5")
     p.add_argument("--lr-horizon-scale", type=float, default=1.0,
                    help="multiply run_max_steps (the LR-decay horizon) — for "
                         "equal-WALL-CLOCK A/Bs where a faster config trains "
@@ -135,6 +145,7 @@ def main() -> None:
     ]) / cfg.batch_size)
 
     t0 = time.time()
+    fit_s = None
     tr = Trainer(cfg)
     try:
         assert tr.val_dataset.uses_val_split, "dataset must ship a val split"
@@ -145,7 +156,9 @@ def main() -> None:
                 "no trained checkpoint found for this run"
             )
         else:
+            t_fit = time.time()
             tr.fit(max_steps=steps)
+            fit_s = time.time() - t_fit  # incl. first-step compile
         val = tr.validate(n_images=args.val_views)
     finally:
         tr.close()
@@ -160,6 +173,9 @@ def main() -> None:
         "val_psnr_obj": round(val.get("psnr_obj", float("nan")), 3),
         "wall_s": round(time.time() - t0, 1),
     }
+    if fit_s is not None:
+        rec["fit_s"] = round(fit_s, 1)
+        rec["rays_per_s_incl_compile"] = round(rec["rays"] / fit_s)
     with open(out_path, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec))
