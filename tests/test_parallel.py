@@ -360,6 +360,40 @@ class TestMultiHost:
         assert "proc0 adddp ok" in outs[0]
         assert "proc1 adddp ok" in outs[1]
 
+    def test_ae_sharded_step_two_processes(self):
+        """Same seam for the AUTO-ENCODER: one AE DDP step with view-sharded
+        buffers across two real processes — each process samples and
+        ResNet-encodes a source view from its own half, pmean crosses the
+        process boundary; asserted against the jitted local-slice oracle in
+        tests/worker_ae_2proc.py. With this, both articulated modes have
+        crossed a real process boundary (ref README.md:105's 7-GPU config)."""
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "worker_ae_2proc.py")
+        with socket.socket() as s:  # free port
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), port, repo],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out.decode())
+        assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+        assert "proc0 aeddp ok" in outs[0]
+        assert "proc1 aeddp ok" in outs[1]
+
 
 class TestArticulatedDDP:
     """The articulated modes' DDP steps (per-chip distinct sampling + pmean'd
