@@ -42,6 +42,11 @@ def build_cfg(args, root: str):
     from aonerf.utils.config import Config
 
     seed_tag = f"_s{args.seed}" if args.seed else ""
+    # dataset-shape tag: runs on a non-default view count get their own run
+    # dir (same-named runs on different datasets would otherwise auto-resume
+    # from each other's checkpoints — the refscale run hit exactly this)
+    if args.n_images != 12:
+        seed_tag = f"_v{args.n_images}{seed_tag}"
     if args.mode == "autodecoder":
         return Config(
             exp_type="vanilla_autodecoder", dataset_name="sapien_multi",

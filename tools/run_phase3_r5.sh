@@ -18,4 +18,18 @@ timeout 2400 python tools/instance_scaling_study.py \
 timeout 1200 python tools/diagnose_autodecoder.py --n 4 --seed 0 \
   --tag _reg1e3 --out studies/diag_n4_s0_reg1e3.json \
   || echo "DIAG FAILED reg1e3"
+# refscale autodecoder rerun: the phase-2 invocation's exp_name collided
+# with the phase-1 12-view run dir and auto-resumed its (collapsed, fully
+# trained) checkpoint instead of training on the 100-view dataset; exp_name
+# now carries a _v{n_images} tag
+timeout 4500 python tools/instance_scaling_study.py \
+  --mode autodecoder --n 4 --n-images 100 --val-views 30 \
+  --out studies/ref_scale_views_r5.jsonl || echo "RUN FAILED refscale-ad2"
+
+# clean-wall-clock rerun of the R=2 equal-wall-clock cell (the phase-2 run's
+# fit_s was polluted by the concurrently-running CPU test suite)
+timeout 2400 python tools/instance_scaling_study.py \
+  --mode ae --n 2 --ae-encode-reuse 2 --budget-rays 9.76e6 \
+  --lr-horizon-scale 1.49 --tag _r2wc2 --val-views 30 \
+  --out studies/ae_r2_wallclock_r5.jsonl || echo "RUN FAILED r2wc2"
 echo "PHASE3 DONE"
