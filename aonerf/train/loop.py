@@ -417,12 +417,14 @@ class Trainer:
         return int(np.argmin(np.abs(grid - deg_rad)))
 
     def _render_setup(self, img: Dict, is_test: bool = False):
-        """(params_for_renderer, latents) for the articulated variants."""
+        """(params_for_renderer, latents, aux) for the articulated variants;
+        ``aux`` carries the AE's predicted joint state (radians) so callers
+        can score the state error without re-encoding."""
         if self.cfg.exp_type == "vanilla_autodecoder":
             latents = self._latents_for(
                 img["instance_id"], img["articulation_id"], is_test=is_test
             )
-            return self.state.params["model"], latents
+            return self.state.params["model"], latents, {}
         # AE: encode the source image; condition the deformation on the
         # ground-truth angle at val time and on the PREDICTED one at test
         # time (the reference's intended-but-broken inference path,
@@ -440,7 +442,7 @@ class Trainer:
                 params, deg, method=self.model.deg_code
             )
         latents = {k: jnp.atleast_2d(v) for k, v in latents.items()}
-        return params, latents
+        return params, latents, {"pred_state": float(pred_state.reshape(()))}
 
     def _save_val_grid(self, target, rgb, depth, acc) -> None:
         """GT|pred|depth|opacity grid for the current val step (the
@@ -477,6 +479,7 @@ class Trainer:
             n = n_images or cfg.limit_val_batches
             ds = self.val_dataset
             held_out = bool(getattr(ds, "uses_val_split", False))
+            state_sq_errs, state_deg_errs = [], []
             # Deterministic rotating coverage (reference limit_val_batches=5,
             # run.py:107,148): each validate() call renders ``n`` consecutive
             # entries of the flattened (view, articulation, instance) grid,
@@ -509,9 +512,19 @@ class Trainer:
                             self._interp_articulation_id(float(img["deg"]))
                         ),
                     )
-                    render_params, latents = self._render_setup(img, is_test=True)
+                    render_params, latents, aux = self._render_setup(img, is_test=True)
                 else:
-                    render_params, latents = self._render_setup(img)
+                    render_params, latents, aux = self._render_setup(img)
+                if "pred_state" in aux and "deg" in img:
+                    # joint-state error in the reference's two val metrics
+                    # (model_ae_art.py:519-523): MSE in radians, and the
+                    # rounded-degree deviation (reported as an abs mean)
+                    gt = float(img["deg"])
+                    state_sq_errs.append((aux["pred_state"] - gt) ** 2)
+                    state_deg_errs.append(abs(
+                        round(np.rad2deg(aux["pred_state"]))
+                        - round(np.rad2deg(gt))
+                    ))
                 rgb, acc, depth = (
                     np.asarray(x)
                     for x in self._renderer(render_params, rays, latents)
@@ -530,6 +543,9 @@ class Trainer:
         out = {"psnr": float(np.mean(psnrs))}
         if obj_psnrs:
             out["psnr_obj"] = float(np.mean(obj_psnrs))
+        if cfg.exp_type == "vanilla_ae_art" and state_sq_errs:
+            out["state_error_rad"] = float(np.mean(state_sq_errs))
+            out["abs_state_error_deg"] = float(np.mean(state_deg_errs))
         return out
 
     def test(self) -> Dict[str, Dict[str, float]]:
@@ -573,7 +589,7 @@ class Trainer:
                 masks.append(img["instance_mask"].reshape(h, w))
                 if start <= i < stop:
                     rays = {k: jnp.asarray(img[k]) for k in ("rays_o", "rays_d", "viewdirs")}
-                    render_params, latents = self._render_setup(img, is_test=True)
+                    render_params, latents, _ = self._render_setup(img, is_test=True)
                     rgb, acc, depth = (
                         np.asarray(x)
                         for x in self._renderer(render_params, rays, latents)

@@ -241,6 +241,69 @@ class TestAutodecoderE2E:
             tr.close()
 
 
+class TestAEE2E:
+    """Trainer-level auto-encoder flow (previously only step-level tested):
+    fit -> validate (incl. the reference's joint-state val metrics,
+    model_ae_art.py:519-523) -> predicted-state test sweep."""
+
+    def test_train_validate_reports_state_error(self, multi_root, tmp_path):
+        cfg = _tiny_cfg(
+            multi_root,
+            str(tmp_path),
+            exp_name="ae_e2e",
+            exp_type="vanilla_ae_art",
+            dataset_name="sapien_multi",
+            img_wh=(32, 24),
+            batch_size=64,
+            num_coarse_samples=8,
+            num_fine_samples=8,
+            chunk=256,
+        )
+        tr = Trainer(cfg, use_mesh=False)
+        try:
+            metrics = tr.fit(max_steps=2)
+            assert np.isfinite(metrics["loss"])
+            val = tr.validate(n_images=2)
+            assert np.isfinite(val["psnr"]) and "psnr_obj" in val
+            # the reference's two joint-state val metrics: MSE in radians +
+            # rounded-degree deviation (abs mean)
+            assert np.isfinite(val["state_error_rad"])
+            assert val["state_error_rad"] >= 0.0
+            assert np.isfinite(val["abs_state_error_deg"])
+            assert val["abs_state_error_deg"] >= 0.0
+        finally:
+            tr.close()
+
+    def test_predicted_state_sweep_render(self, multi_root, tmp_path):
+        """AE test sweep: latents from the ENCODED target-instance image,
+        deformation conditioned on the PREDICTED joint state (the
+        reference's intended-but-broken inference path, model_ae_art.py:
+        566-570 — working here); 19 spheric poses to disk."""
+        cfg = _tiny_cfg(
+            multi_root,
+            str(tmp_path),
+            exp_name="ae_sweep",
+            exp_type="vanilla_ae_art",
+            dataset_name="sapien_multi",
+            img_wh=(32, 24),
+            batch_size=64,
+            num_coarse_samples=8,
+            num_fine_samples=8,
+            run_eval=True,
+            chunk=256,
+            test_sweep_poses=3,  # 3 poses keep the CPU render cheap
+        )
+        tr = Trainer(cfg, use_mesh=False)
+        try:
+            stats = tr.test()
+            assert np.isfinite(stats["psnr"]["test"])
+            assert np.isfinite(stats["ssim"]["test"])
+            imgs = os.listdir(os.path.join(tr.run_dir, cfg.render_name))
+            assert len([f for f in imgs if f.endswith(".jpg")]) == 3
+        finally:
+            tr.close()
+
+
 class TestValArticulationSplit:
     def test_validate_on_held_out_degrees(self, tmp_path):
         """First-class val-articulation split (reference idx_to_deg['val'],
