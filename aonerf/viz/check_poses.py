@@ -11,6 +11,9 @@ headless version checks the invariants numerically and reports violations:
   - focal/camera_angle_x presence
 
 Usage: python -m aonerf.viz.check_poses --root data/scene --split train
+       python -m aonerf.viz.check_poses --root scan1 --convention dtu
+(--convention routes through aonerf.viz.conventions.load_cameras, so any
+supported camera convention can be validated, not just sapien.)
 """
 
 import argparse
@@ -79,13 +82,25 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--root", type=str, required=True)
     p.add_argument("--split", type=str, default="train")
     p.add_argument("--expect-radius", type=float, default=None)
+    p.add_argument("--convention", type=str, default=None,
+                   help="validate a non-sapien pose set via "
+                        "aonerf.viz.conventions.load_cameras")
     args = p.parse_args(argv)
 
-    with open(os.path.join(args.root, args.split, "transforms.json")) as f:
-        meta = json.load(f)
-    c2ws = np.asarray([np.asarray(v) for v in meta["frames"].values()])
-    report = check_poses(c2ws, expect_radius=args.expect_radius)
-    report["has_focal"] = "focal" in meta or "camera_angle_x" in meta
+    if args.convention:
+        from aonerf.viz.conventions import load_cameras
+
+        kwargs = {"split": args.split} if args.convention in ("sapien", "blender") else {}
+        cams = load_cameras(args.convention, args.root, **kwargs)
+        report = check_poses(cams.c2ws, expect_radius=args.expect_radius)
+        report["has_focal"] = cams.focal is not None
+        report["convention"] = cams.convention
+    else:
+        with open(os.path.join(args.root, args.split, "transforms.json")) as f:
+            meta = json.load(f)
+        c2ws = np.asarray([np.asarray(v) for v in meta["frames"].values()])
+        report = check_poses(c2ws, expect_radius=args.expect_radius)
+        report["has_focal"] = "focal" in meta or "camera_angle_x" in meta
     print(json.dumps(report, indent=2))
 
 

@@ -8,8 +8,9 @@ itself is the geometry: the whole N-cubed grid is evaluated in ONE jitted
 dispatch (``lax.map`` over z-slabs, the same static-tile idiom as
 eval/render.py::make_image_renderer), thresholded to occupied voxel
 centers, and exported through viz/pointcloud.py::write_ply for any mesh
-viewer.  Works for the vanilla field and for the articulated field at any
-latent code (per-instance, per-articulation snapshots).
+viewer.  Works for the vanilla field, the articulated field at any latent code
+(per-instance, per-articulation snapshots), and the auto-encoder at
+latents encoded from a source view.
 """
 
 from typing import Callable, Dict, Optional, Tuple
@@ -45,33 +46,59 @@ def nerf_density_fn(model, variables) -> DensityFn:
     return fn
 
 
+def _fixed_view_cond(points: jnp.ndarray, deg_view: int) -> jnp.ndarray:
+    """Encoded +x view direction per row (density is view-independent)."""
+    dirs = jnp.concatenate(
+        [jnp.ones_like(points[:, :1, :1]), jnp.zeros_like(points[:, :1, :2])],
+        axis=-1,
+    )[:, 0]
+    return encoding.pos_enc(dirs, 0, deg_view)
+
+
+def _field_sigma(field, points, cond, latents) -> jnp.ndarray:
+    """Fine-level density of an ArticulatedNeRF submodule with the field's
+    OWN activation (softplus+bias or relu) and soft cap, so thresholds mean
+    the same thing as in training.  Runs inside model.apply."""
+    if field.enc_after:
+        enc = points  # the MLP warps raw points, then encodes
+    else:
+        enc = encoding.pos_enc(points, field.min_deg_point, field.max_deg_point)
+    _, raw_sigma = field.fine_mlp(enc, cond, latents)
+    if field.sigma_activation == "softplus":
+        sigma = nn.softplus(raw_sigma + field.density_bias)
+    else:
+        sigma = nn.relu(raw_sigma)
+    if field.sigma_cap is not None:
+        sigma = field.sigma_cap * jnp.tanh(sigma / field.sigma_cap)
+    return sigma[..., 0]
+
+
 def articulated_density_fn(model, variables, latents: Dict[str, jnp.ndarray]) -> DensityFn:
     """Density adapter for the articulated field (models/articulated.py) at
     fixed ``latents`` (density/color/articulation codes, (1, C) each —
-    broadcast inside the MLP).  Applies the model's own sigma activation
-    (softplus+bias or relu) and soft cap, so thresholds mean the same thing
-    as in training."""
+    broadcast inside the MLP)."""
 
     def fn(points: jnp.ndarray) -> jnp.ndarray:
-        if model.enc_after:
-            enc = points  # the MLP warps raw points, then encodes
-        else:
-            enc = encoding.pos_enc(points, model.min_deg_point, model.max_deg_point)
-        dirs = jnp.concatenate(
-            [jnp.ones_like(points[:, :1, :1]), jnp.zeros_like(points[:, :1, :2])],
-            axis=-1,
-        )[:, 0]
-        cond = encoding.pos_enc(dirs, 0, model.deg_view)
-        _, raw_sigma = model.apply(
-            variables, enc, cond, latents, method=lambda m, e, c, l: m.fine_mlp(e, c, l)
+        cond = _fixed_view_cond(points, model.deg_view)
+        return model.apply(
+            variables, points, cond, latents,
+            method=lambda m, p, c, l: _field_sigma(m, p, c, l),
         )
-        if model.sigma_activation == "softplus":
-            sigma = nn.softplus(raw_sigma + model.density_bias)
-        else:
-            sigma = nn.relu(raw_sigma)
-        if model.sigma_cap is not None:
-            sigma = model.sigma_cap * jnp.tanh(sigma / model.sigma_cap)
-        return sigma[..., 0]
+
+    return fn
+
+
+def ae_density_fn(model, variables, latents: Dict[str, jnp.ndarray]) -> DensityFn:
+    """Density adapter for the auto-encoder (models/ae.py) at encoded
+    ``latents`` (e.g. from Trainer._params_latents_for): evaluates the
+    ``field`` submodule's fine MLP with the field's own activation/cap."""
+
+    def fn(points: jnp.ndarray) -> jnp.ndarray:
+        cond = _fixed_view_cond(points, model.deg_view)
+        return model.apply(
+            variables, points, cond, latents,
+            method=lambda m, p, c, l: _field_sigma(m.field, p, c, l),
+        )
 
     return fn
 

@@ -283,6 +283,24 @@ class TestDispatchAndCLI:
         with pytest.raises(ValueError, match="unknown camera convention"):
             cv.load_cameras("lidar", "/nope")
 
+    def test_check_poses_convention_route(self, tmp_path, capsys):
+        # SRN fixture validated through check_poses --convention srn
+        os.makedirs(tmp_path / "pose")
+        for i, eye in enumerate(EYES):
+            R, _ = _look_at_cv_w2c(eye)
+            c2w = np.eye(4)
+            c2w[:3, :3] = R.T
+            c2w[:3, 3] = eye
+            np.savetxt(tmp_path / "pose" / f"{i:06d}.txt", c2w.reshape(1, 16))
+        (tmp_path / "intrinsics.txt").write_text("131.25 64.0 64.0\n128 128\n")
+
+        from aonerf.viz.check_poses import main as check_main
+
+        check_main(["--root", str(tmp_path), "--convention", "srn"])
+        report = json.loads(capsys.readouterr().out)
+        assert report["ok"] and report["convention"] == "srn"
+        assert report["n_cameras"] == 3 and report["has_focal"]
+
     def test_cli_end_to_end_sapien(self, tmp_path):
         os.makedirs(tmp_path / "data" / "train")
         frames = {

@@ -107,6 +107,41 @@ class TestVanillaE2E:
         finally:
             tr2.close()
 
+    def test_export_voxels_tool(self, single_root, tmp_path, capsys):
+        """tools/export_voxels.py: checkpoint -> occupancy PLY end-to-end."""
+        import dataclasses
+        import sys
+
+        cfg = _tiny_cfg(
+            single_root, str(tmp_path), exp_name="vox", ckpt_every_steps=5
+        )
+        tr = Trainer(cfg, use_mesh=False)
+        try:
+            tr.fit(max_steps=5)
+        finally:
+            tr.close()
+
+        cfg_path = os.path.join(str(tmp_path), "cfg.json")
+        with open(cfg_path, "w") as f:
+            json.dump({k: v for k, v in dataclasses.asdict(cfg).items()
+                       if v is not None}, f)
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        try:
+            import export_voxels
+        finally:
+            sys.path.pop(0)
+        out = os.path.join(str(tmp_path), "occ.ply")
+        export_voxels.main([
+            "--config", cfg_path, "--out", out,
+            "--resolution", "16", "--threshold", "0.5",
+        ])
+        payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert payload["step"] == 5
+        assert os.path.exists(out)
+        header = open(out).read().splitlines()
+        n_vert = int([l for l in header if l.startswith("element vertex")][0].split()[-1])
+        assert n_vert == payload["occupied"]
+
     def test_test_writes_results(self, single_root, tmp_path):
         cfg = _tiny_cfg(
             single_root, str(tmp_path), exp_name="eval", run_eval=True

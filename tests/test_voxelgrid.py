@@ -81,6 +81,40 @@ class TestModelAdapters:
         assert sigma.shape == (3, 5)
         assert np.isfinite(sigma).all() and (sigma >= 0).all()
 
+    def test_ae_density_from_encoded_latents(self):
+        from aonerf.models.ae import AutoEncoderArticulatedNeRF
+
+        model = AutoEncoderArticulatedNeRF(num_coarse_samples=4, num_fine_samples=4)
+        rng = np.random.default_rng(0)
+        d = rng.standard_normal((8, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        batch = {
+            "rays_o": jnp.asarray(-4.0 * d),
+            "rays_d": jnp.asarray(d),
+            "viewdirs": jnp.asarray(d),
+        }
+        src = jnp.asarray(rng.uniform(-1, 1, (3, 24, 32)).astype(np.float32))
+        deg = jnp.asarray(np.float32(np.deg2rad(40.0)))
+        params = model.init(
+            jax.random.PRNGKey(0), batch, src[None], deg, False, True, 2.0, 6.0
+        )
+
+        def latents_from(img):
+            lat = model.apply(params, img[None], method=model.encode)
+            lat = dict(lat)
+            lat["articulation_deg"] = model.apply(params, deg, method=model.deg_code)
+            return {k: jnp.atleast_2d(v) for k, v in lat.items()}
+
+        lat = latents_from(src)
+        grid1 = vg.density_grid(vg.ae_density_fn(model, params, lat), resolution=8)
+        assert np.isfinite(grid1).all() and (grid1 >= 0).all()
+        # the field is really conditioned on the encoded shape code
+        # (a fresh random ENCODER input barely moves the code at init, so
+        # perturb the latent itself)
+        lat2 = dict(lat, density=lat["density"] + 2.0)
+        grid2 = vg.density_grid(vg.ae_density_fn(model, params, lat2), resolution=8)
+        assert not np.allclose(grid1, grid2)
+
     def test_articulated_density_responds_to_articulation_code(self):
         model = ArticulatedNeRF(num_coarse_samples=4, num_fine_samples=4)
         lat = _latents()

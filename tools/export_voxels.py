@@ -9,7 +9,8 @@ Usage:
   # vanilla run
   python tools/export_voxels.py --config /tmp/v/train.json --out occ.ply
 
-  # autodecoder run: pick the instance + articulation slot
+  # autodecoder run: pick the instance + articulation slot (learned codes);
+  # AE run: same flags — latents are encoded from that slot's source view
   python tools/export_voxels.py --config cfg.json --out occ.ply \
       --instance 0 --articulation 0 [--resolution 128] [--threshold 10] \
       [--bbox -1.5 1.5]
@@ -32,8 +33,8 @@ def main(argv=None) -> None:
     p.add_argument("--threshold", type=float, default=10.0)
     p.add_argument("--bbox", type=float, nargs=2, default=(-1.5, 1.5),
                    help="cubic bbox [lo, hi] on every axis")
-    p.add_argument("--instance", type=int, default=0, help="autodecoder runs")
-    p.add_argument("--articulation", type=int, default=0, help="autodecoder runs")
+    p.add_argument("--instance", type=int, default=0, help="articulated runs")
+    p.add_argument("--articulation", type=int, default=0, help="articulated runs")
     args = p.parse_args(argv)
 
     import jax
@@ -54,11 +55,10 @@ def main(argv=None) -> None:
         elif cfg.exp_type == "vanilla_autodecoder":
             lat = tr._latents_for(args.instance, args.articulation)
             fn = vg.articulated_density_fn(tr.model, tr.state.params["model"], lat)
-        else:
-            raise SystemExit(
-                "exp_type vanilla_ae_art has no standalone code table; render "
-                "its geometry via the predicted-state test path instead"
-            )
+        else:  # AE: latents encoded from the (instance, articulation) source view
+            img = tr.dataset.get_image(args.instance, args.articulation, 0)
+            params, lat, _ = tr._render_setup(img)
+            fn = vg.ae_density_fn(tr.model, params, lat)
 
         lo, hi = args.bbox
         path, count = vg.export_occupancy_ply(
