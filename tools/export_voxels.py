@@ -35,6 +35,9 @@ def main(argv=None) -> None:
                    help="cubic bbox [lo, hi] on every axis")
     p.add_argument("--instance", type=int, default=0, help="articulated runs")
     p.add_argument("--articulation", type=int, default=0, help="articulated runs")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="also extract a triangle-mesh isosurface PLY "
+                        "(marching tetrahedra at --threshold) to this path")
     args = p.parse_args(argv)
 
     import jax
@@ -61,13 +64,27 @@ def main(argv=None) -> None:
             fn = vg.ae_density_fn(tr.model, params, lat)
 
         lo, hi = args.bbox
-        path, count = vg.export_occupancy_ply(
-            args.out, fn, (lo,) * 3, (hi,) * 3, args.resolution, args.threshold
-        )
-        print(json.dumps({
-            "out": path, "occupied": count, "resolution": args.resolution,
-            "threshold": args.threshold, "step": step,
-        }))
+        bbox_min, bbox_max = (lo,) * 3, (hi,) * 3
+        grid = vg.density_grid(fn, bbox_min, bbox_max, args.resolution)
+        pts = vg.occupied_points(grid, bbox_min, bbox_max, args.threshold)
+        from aonerf.viz.pointcloud import write_ply
+
+        path = write_ply(args.out, pts.astype("float32"))
+        summary = {
+            "out": path, "occupied": int(len(pts)),
+            "resolution": args.resolution, "threshold": args.threshold,
+            "step": step,
+        }
+        if args.mesh:
+            from aonerf.viz.mesh import marching_tetrahedra, write_mesh_ply
+
+            verts, faces = marching_tetrahedra(
+                grid, args.threshold, bbox_min, bbox_max
+            )
+            summary["mesh"] = write_mesh_ply(args.mesh, verts, faces)
+            summary["mesh_verts"] = int(len(verts))
+            summary["mesh_faces"] = int(len(faces))
+        print(json.dumps(summary))
     finally:
         tr.close()
 
