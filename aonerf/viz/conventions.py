@@ -190,25 +190,38 @@ def load_colmap(scene_dir: str, img_wh: Optional[Tuple[int, int]] = None) -> Cam
     (visualize_cameras_nsff.py:688-760): cameras.txt (focal = params[0],
     rescaled to img_wh), images.txt (per-image QW QX QY QZ TX TY TZ = w2c;
     c2w is the inverse, then OpenCV→OpenGL camera-axis flip), and optional
-    points3D.txt sparse points for context."""
+    points3D.txt sparse points for context.  CameraSet carries one intrinsic
+    set, taken from the FIRST image's CAMERA_ID — multi-camera rigs display
+    with that camera's focal."""
     model = os.path.join(scene_dir, "sparse", "0")
     cams = _parse_colmap_cameras_txt(os.path.join(model, "cameras.txt"))
-    f0, w0, h0 = next(iter(cams.values()))
-    if img_wh is None:
-        img_wh = (w0, h0)
-    focal = f0 * img_wh[0] / w0
 
-    mats = []
+    mats, cam_ids = [], []
     with open(os.path.join(model, "images.txt")) as f:
-        lines = [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
-    for ln in lines[::2]:  # every image record is 2 lines; 2nd is the 2D points
+        lines = [ln for ln in f if not ln.startswith("#")]
+    # every image record is 2 lines and the 2nd (its 2D points) may be EMPTY,
+    # so pairing must alternate rather than index filtered lines
+    expecting_pose = True
+    for ln in lines:
+        if not expecting_pose:  # the POINTS2D line, possibly blank: skip it
+            expecting_pose = True
+            continue
+        if not ln.strip():  # stray blank between records
+            continue
         parts = ln.split()
         q = np.array([float(v) for v in parts[1:5]])  # w, x, y, z
         t = np.array([float(v) for v in parts[5:8]])
+        cam_ids.append(int(parts[8]))
         w2c = np.eye(4)
         w2c[:3, :3] = quat_to_matrix(q)
         w2c[:3, 3] = t
         mats.append(invert_se3(w2c) @ FLIP_YZ)
+        expecting_pose = False
+
+    f0, w0, h0 = cams[cam_ids[0]] if cam_ids else next(iter(cams.values()))
+    if img_wh is None:
+        img_wh = (w0, h0)
+    focal = f0 * img_wh[0] / w0
 
     points = None
     pts_path = os.path.join(model, "points3D.txt")
@@ -266,16 +279,17 @@ def spheric_cameras(
 
 
 def axis_align(cams: CameraSet, box_transformation: np.ndarray) -> CameraSet:
-    """Re-express cameras in the canonical box frame: c2w ←
-    inv(box_transformation) @ c2w (visualize_cameras_objectron.py:154,534 —
-    objectron/NOCS annotations give the object-box-to-world transform)."""
+    """Re-express cameras AND context points in the canonical box frame:
+    c2w ← inv(box_transformation) @ c2w (visualize_cameras_objectron.py:
+    154,534 — objectron/NOCS annotations give the object-box-to-world
+    transform)."""
     inv_box = np.linalg.inv(np.asarray(box_transformation, dtype=np.float64))
     return CameraSet(
         np.einsum("ij,njk->nik", inv_box, cams.c2ws),
         cams.focal,
         cams.img_wh,
         cams.convention,
-        points=cams.points,
+        points=None if cams.points is None else transform_points(inv_box, cams.points),
     )
 
 
@@ -391,22 +405,11 @@ def cameraset_lineset(
 
 def write_lineset_ply(path: str, points: np.ndarray, lines: np.ndarray) -> str:
     """ASCII PLY with vertex + edge elements — the headless stand-in for the
-    reference's o3d.geometry.LineSet viewer; opens in meshlab/blender."""
-    points = np.asarray(points, dtype=np.float64)
-    lines = np.asarray(lines, dtype=np.int64)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "w") as f:
-        f.write("ply\nformat ascii 1.0\n")
-        f.write(f"element vertex {len(points)}\n")
-        f.write("property float x\nproperty float y\nproperty float z\n")
-        f.write(f"element edge {len(lines)}\n")
-        f.write("property int vertex1\nproperty int vertex2\n")
-        f.write("end_header\n")
-        for p in points:
-            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
-        for a, b in lines:
-            f.write(f"{int(a)} {int(b)}\n")
-    return path
+    reference's o3d.geometry.LineSet viewer; opens in meshlab/blender.
+    Delegates to the shared writer (viz/pointcloud.py::write_ply)."""
+    from aonerf.viz.pointcloud import write_ply
+
+    return write_ply(path, np.asarray(points, dtype=np.float64), edges=lines)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:

@@ -135,22 +135,11 @@ def marching_tetrahedra(
 
 
 def write_mesh_ply(path: str, verts: np.ndarray, faces: np.ndarray) -> str:
-    """ASCII PLY triangle mesh (opens in meshlab/blender/open3d)."""
-    import os
+    """ASCII PLY triangle mesh (opens in meshlab/blender/open3d).
+    Delegates to the shared writer (viz/pointcloud.py::write_ply)."""
+    from aonerf.viz.pointcloud import write_ply
 
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "w") as f:
-        f.write("ply\nformat ascii 1.0\n")
-        f.write(f"element vertex {len(verts)}\n")
-        f.write("property float x\nproperty float y\nproperty float z\n")
-        f.write(f"element face {len(faces)}\n")
-        f.write("property list uchar int vertex_indices\n")
-        f.write("end_header\n")
-        for p in np.asarray(verts, dtype=np.float64):
-            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
-        for a, b, c in np.asarray(faces, dtype=np.int64):
-            f.write(f"3 {a} {b} {c}\n")
-    return path
+    return write_ply(path, np.asarray(verts, dtype=np.float64), faces=faces)
 
 
 def extract_mesh(

@@ -55,8 +55,15 @@ def depth_to_points(
     return pts
 
 
-def write_ply(path: str, points: np.ndarray) -> str:
-    """Write (N, 3) xyz or (N, 6) xyz+rgb([0,1]) points as ASCII PLY."""
+def write_ply(
+    path: str,
+    points: np.ndarray,
+    edges: Optional[np.ndarray] = None,
+    faces: Optional[np.ndarray] = None,
+) -> str:
+    """Write (N, 3) xyz or (N, 6) xyz+rgb([0,1]) points as ASCII PLY, with
+    optional (E, 2) edge and/or (F, 3) triangle-face elements — the single
+    PLY writer behind pointcloud/lineset/mesh export."""
     points = np.asarray(points)
     has_color = points.shape[-1] >= 6
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -68,13 +75,25 @@ def write_ply(path: str, points: np.ndarray) -> str:
             f.write(
                 "property uchar red\nproperty uchar green\nproperty uchar blue\n"
             )
+        if edges is not None:
+            f.write(f"element edge {len(edges)}\n")
+            f.write("property int vertex1\nproperty int vertex2\n")
+        if faces is not None:
+            f.write(f"element face {len(faces)}\n")
+            f.write("property list uchar int vertex_indices\n")
         f.write("end_header\n")
         for p in points:
-            line = f"{p[0]:.5f} {p[1]:.5f} {p[2]:.5f}"
+            line = f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}"
             if has_color:
                 c = (np.clip(p[3:6], 0, 1) * 255).astype(int)
                 line += f" {c[0]} {c[1]} {c[2]}"
             f.write(line + "\n")
+        if edges is not None:
+            for a, b in np.asarray(edges, dtype=np.int64):
+                f.write(f"{a} {b}\n")
+        if faces is not None:
+            for a, b, c in np.asarray(faces, dtype=np.int64):
+                f.write(f"3 {a} {b} {c}\n")
     return path
 
 

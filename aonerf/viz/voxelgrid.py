@@ -33,11 +33,7 @@ def nerf_density_fn(model, variables) -> DensityFn:
 
     def fn(points: jnp.ndarray) -> jnp.ndarray:
         enc = encoding.pos_enc(points, model.min_deg_point, model.max_deg_point)
-        dirs = jnp.concatenate(
-            [jnp.ones_like(points[:, :1, :1]), jnp.zeros_like(points[:, :1, :2])],
-            axis=-1,
-        )[:, 0]
-        cond = encoding.pos_enc(dirs, 0, model.deg_view)
+        cond = _fixed_view_cond(points, model.deg_view)
         _, raw_sigma = model.apply(
             variables, enc, cond, method=lambda m, e, c: m.fine_mlp(e, c)
         )

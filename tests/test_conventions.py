@@ -166,7 +166,9 @@ class TestColmap:
                 q = matrix_to_quat(R)
                 vals = " ".join(f"{v:.12f}" for v in list(q) + list(t))
                 f.write(f"{i + 1} {vals} 1 im{i}.png\n")
-                f.write("1.0 2.0 -1\n")  # the POINTS2D line, must be skipped
+                # the POINTS2D line must be skipped — and may be EMPTY
+                # (an image with zero observations must not shift pairing)
+                f.write("1.0 2.0 -1\n" if i != 1 else "\n")
         if with_points:
             with open(os.path.join(model, "points3D.txt"), "w") as f:
                 f.write("# points\n7 0.5 0.25 -0.125 200 10 10 0.4 1 2\n")
@@ -218,13 +220,18 @@ class TestSphericAndAxisAlign:
         )
         _assert_valid_gl_c2ws(cams.c2ws, cams.centers())  # looks at origin
 
-    def test_axis_align_translates_centers(self):
+    def test_axis_align_translates_centers_and_points(self):
         cams = cv.spheric_cameras(radius=4.0, n_poses=4)
+        cams.points = np.array([[0.5, 0.5, 0.5], [-1.0, 0.0, 2.0]])
         box = np.eye(4)
         box[:3, 3] = [1.0, -2.0, 0.5]
         aligned = cv.axis_align(cams, box)
         np.testing.assert_allclose(
             aligned.centers(), cams.centers() - [1.0, -2.0, 0.5], atol=1e-5
+        )
+        # context points move WITH the cameras into the box frame
+        np.testing.assert_allclose(
+            aligned.points, cams.points - [1.0, -2.0, 0.5], atol=1e-12
         )
 
 

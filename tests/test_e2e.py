@@ -187,6 +187,47 @@ class TestAutodecoderE2E:
         finally:
             tr.close()
 
+    def test_export_voxels_tool_autodecoder_with_mesh(self, multi_root, tmp_path, capsys):
+        """tools/export_voxels.py autodecoder branch (learned codes via
+        Trainer._latents_for) + the --mesh marching-tetrahedra flag."""
+        import dataclasses
+        import sys
+
+        cfg = _tiny_cfg(
+            multi_root, str(tmp_path), exp_name="advox",
+            exp_type="vanilla_autodecoder", dataset_name="sapien_multi",
+            img_wh=(32, 24), n_max_objs=2, n_max_articulations=2,
+            batch_size=128, ckpt_every_steps=4,
+        )
+        tr = Trainer(cfg, use_mesh=False)
+        try:
+            tr.fit(max_steps=4)
+        finally:
+            tr.close()
+
+        cfg_path = os.path.join(str(tmp_path), "cfg.json")
+        with open(cfg_path, "w") as f:
+            json.dump({k: v for k, v in dataclasses.asdict(cfg).items()
+                       if v is not None}, f)
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        try:
+            import export_voxels
+        finally:
+            sys.path.pop(0)
+        out = os.path.join(str(tmp_path), "occ.ply")
+        mesh = os.path.join(str(tmp_path), "surf.ply")
+        export_voxels.main([
+            "--config", cfg_path, "--out", out, "--mesh", mesh,
+            "--resolution", "12", "--threshold", "0.05",
+            "--instance", "1", "--articulation", "1",
+        ])
+        payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert payload["step"] == 4
+        assert os.path.exists(out) and os.path.exists(mesh)
+        header = open(mesh).read().splitlines()
+        n_f = int([l for l in header if l.startswith("element face")][0].split()[-1])
+        assert n_f == payload["mesh_faces"]
+
     def test_validate_deterministic_multiview(self, multi_root, tmp_path):
         """Articulated validation renders ``limit_val_batches`` DETERMINISTIC
         views per call (the reference's limit_val_batches=5, run.py:107,148)
@@ -280,6 +321,41 @@ class TestAEE2E:
     """Trainer-level auto-encoder flow (previously only step-level tested):
     fit -> validate (incl. the reference's joint-state val metrics,
     model_ae_art.py:519-523) -> predicted-state test sweep."""
+
+    def test_export_voxels_tool_ae_branch(self, multi_root, tmp_path, capsys):
+        """tools/export_voxels.py AE branch: latents encoded from the
+        (instance, articulation) source view via Trainer._render_setup."""
+        import dataclasses
+        import sys
+
+        cfg = _tiny_cfg(
+            multi_root, str(tmp_path), exp_name="aevox",
+            exp_type="vanilla_ae_art", dataset_name="sapien_multi",
+            img_wh=(32, 24), batch_size=64, num_coarse_samples=8,
+            num_fine_samples=8, chunk=256, ckpt_every_steps=2,
+        )
+        tr = Trainer(cfg, use_mesh=False)
+        try:
+            tr.fit(max_steps=2)
+        finally:
+            tr.close()
+
+        cfg_path = os.path.join(str(tmp_path), "cfg.json")
+        with open(cfg_path, "w") as f:
+            json.dump({k: v for k, v in dataclasses.asdict(cfg).items()
+                       if v is not None}, f)
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        try:
+            import export_voxels
+        finally:
+            sys.path.pop(0)
+        out = os.path.join(str(tmp_path), "occ.ply")
+        export_voxels.main([
+            "--config", cfg_path, "--out", out,
+            "--resolution", "8", "--threshold", "0.01",
+        ])
+        payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert payload["step"] == 2 and os.path.exists(out)
 
     def test_train_validate_reports_state_error(self, multi_root, tmp_path):
         cfg = _tiny_cfg(
